@@ -1,38 +1,901 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry / queries / oracle_sql.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator family from SURVEY.md §2 to a
+(spark, sf_dir) → DataFrame callable; ``oracle_sql()`` gives the DuckDB-
+equivalent ANSI SQL over the same parquet views.  Column names and types are
+aligned pair-by-pair (the driver hashes values after sorting columns by
+name).  Floats are scaled to BIGINT (``*_e6``/``*_e2``) to avoid
+float-formatting drift between engines.
+
+Crawl-semantics operators (W1/W2/J5/J6/J7/A1/A3/A4/W3/W4/W5/U1/C10/C11/C12)
+are expressed over the shared TPC-H-ish tables so DuckDB can verify them
+value-for-value; the full crawl-engine pipeline itself (wave loop, robots,
+sitemap, AIMD state machine) is exercised by the rows-only entries
+(``crawl_fixture_trace``, ``image_decode_verify``, ...) and bit-exactly by
+``tests/test_crawl_parity.py``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DAY_MS = 86_400_000
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# crawl-shaped operators over shared tables (oracle-verified)
+# --------------------------------------------------------------------------
+
+def q_w2_wave_select(spark, sf_dir):
+    """W2 (Database.java:264-269): per-host priority-queue top-k with the
+    exact ordering type DESC, priority DESC NULLS LAST, depth ASC,
+    next_visit ASC (+path_id tiebreak), over a frontier derived from orders."""
+    o = _t(spark, sf_dir, "orders")
+    fr = o.select(
+        F.col("o_custkey").alias("origin_id"),
+        F.col("o_orderkey").alias("path_id"),
+        (F.col("o_orderkey") % 4).alias("type_id"),
+        F.when(F.col("o_totalprice") > 150000, F.round("o_totalprice").cast("long")).alias("priority"),
+        (F.col("o_orderkey") % 7).alias("depth"),
+        F.unix_millis("o_orderdate").alias("next_visit"),
+    )
+    w = Window.partitionBy("origin_id").orderBy(
+        F.col("type_id").desc(),
+        F.col("priority").desc_nulls_last(),
+        F.col("depth").asc(),
+        F.col("next_visit").asc(),
+        F.col("path_id").asc(),
+    )
+    return (
+        fr.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 2)
+        .select("origin_id", "path_id", "type_id", "priority", "depth", "next_visit", "rn")
+    )
+
+
+SQL_W2 = """
+WITH fr AS (
+  SELECT o_custkey AS origin_id, o_orderkey AS path_id,
+         o_orderkey % 4 AS type_id,
+         CASE WHEN o_totalprice > 150000 THEN CAST(ROUND(o_totalprice) AS BIGINT) END AS priority,
+         o_orderkey % 7 AS depth,
+         epoch_ms(o_orderdate) AS next_visit
+  FROM orders)
+SELECT origin_id, path_id, type_id, priority, depth, next_visit, rn
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY origin_id ORDER BY
+        type_id DESC, priority DESC NULLS LAST, depth ASC, next_visit ASC, path_id ASC) AS rn
+      FROM fr) t
+WHERE rn <= 2
+"""
+
+
+def q_w1_origin_peek(spark, sf_dir):
+    """W1 (Database.java:174-177): eligible origins by next_visit ASC LIMIT."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_custkey").alias("origin_id"))
+        .agg(F.min(F.unix_millis("o_orderdate")).alias("next_visit"), F.count("*").alias("n_locations"))
+        .orderBy(F.col("next_visit").asc(), F.col("origin_id").asc())
+        .limit(10)
+    )
+
+
+SQL_W1 = """
+SELECT o_custkey AS origin_id, MIN(epoch_ms(o_orderdate)) AS next_visit, COUNT(*) AS n_locations
+FROM orders GROUP BY 1 ORDER BY next_visit ASC, origin_id ASC LIMIT 10
+"""
+
+
+def q_j5_urlseen_antijoin(spark, sf_dir):
+    """J5 (Database.java:186-251 tryInsert): discovered-minus-seen anti-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    discovered = li.filter(F.col("l_shipdate") >= "1997-01-01").select(
+        F.col("l_partkey").alias("partkey")
+    ).distinct()
+    seen = li.filter(F.col("l_shipdate") < "1997-01-01").select(
+        F.col("l_partkey").alias("partkey")
+    ).distinct()
+    return discovered.join(seen, "partkey", "left_anti").orderBy("partkey")
+
+
+SQL_J5 = """
+SELECT DISTINCT l_partkey AS partkey FROM lineitem WHERE l_shipdate >= DATE '1997-01-01'
+AND l_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_shipdate < DATE '1997-01-01')
+ORDER BY partkey
+"""
+
+
+def q_j6_asof_furthest(spark, sf_dir):
+    """J6 quirk (Database.java:387-391): ORDER BY ABS(date-?) DESC LIMIT 1 —
+    the 'closest' lookup that actually picks the furthest; copied exactly."""
+    li = _t(spark, sf_dir, "lineitem")
+    target = F.unix_millis(F.lit("1996-06-30 00:00:00").cast("timestamp"))
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.abs(F.unix_millis("l_shipdate") - target).desc(),
+        F.unix_millis("l_shipdate").desc(),
+        F.col("l_linenumber").asc(),
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_linenumber").cast("long").alias("linenumber"),
+            F.unix_millis("l_shipdate").alias("ship_ms"),
+        )
+        .orderBy("orderkey")
+    )
+
+
+SQL_J6 = """
+SELECT l_orderkey AS orderkey, CAST(l_linenumber AS BIGINT) AS linenumber,
+       epoch_ms(l_shipdate) AS ship_ms
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY
+        ABS(epoch_ms(l_shipdate) - epoch_ms(TIMESTAMP '1996-06-30 00:00:00')) DESC,
+        epoch_ms(l_shipdate) DESC, l_linenumber ASC) rn
+      FROM lineitem) t
+WHERE rn = 1 ORDER BY orderkey
+"""
+
+
+def q_j7_digest_dedupe(spark, sf_dir):
+    """J7 (Storage.java:114-137): duplicate-payload groups by truncated digest
+    with earliest-original pick."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.md5(F.concat_ws("|", F.col("l_partkey"), F.col("l_suppkey"))).alias("digest"),
+        F.unix_millis("l_shipdate").alias("ship_ms"),
+    )
+    return (
+        d.groupBy("digest")
+        .agg(F.count("*").alias("n"), F.min("ship_ms").alias("first_ms"))
+        .filter(F.col("n") >= 2)
+        .orderBy("digest")
+    )
+
+
+SQL_J7 = """
+SELECT md5(l_partkey || '|' || l_suppkey) AS digest, COUNT(*) AS n,
+       MIN(epoch_ms(l_shipdate)) AS first_ms
+FROM lineitem GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY digest
+"""
+
+
+def q_a1_metrics_buckets(spark, sf_dir):
+    """A1 (Database.java:435-440): ROUND(date/Δ)*Δ time buckets (ROUND, not
+    FLOOR — reference quirk) with count + sum."""
+    e = _t(spark, sf_dir, "events")
+    bucket = (F.round(F.unix_millis("ts") / 3600000.0).cast("long") * 3600000).alias("bucket_ms")
+    return (
+        e.select(bucket, F.round(F.col("value") * 100).cast("long").alias("cents"))
+        .groupBy("bucket_ms")
+        .agg(F.count("*").alias("visits"), F.sum("cents").alias("total_cents"))
+        .orderBy("bucket_ms")
+    )
+
+
+SQL_A1 = """
+SELECT CAST(ROUND(epoch_ms(ts)/3600000.0) AS BIGINT)*3600000 AS bucket_ms,
+       COUNT(*) AS visits, SUM(CAST(ROUND(value*100) AS BIGINT)) AS total_cents
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_w4_log_pagination(spark, sf_dir):
+    """W4 (Database.java:409-433): keyset pagination of the crawl log."""
+    e = _t(spark, sf_dir, "events")
+    cutoff = e.agg(F.max(F.unix_millis("ts"))).first()[0]
+    return (
+        e.select("event_id", F.unix_millis("ts").alias("ts_ms"), "event_type", "user_id")
+        .filter(F.col("ts_ms") < F.lit(cutoff))
+        .orderBy(F.col("ts_ms").desc(), F.col("event_id").desc())
+        .limit(100)
+    )
+
+
+SQL_W4 = """
+SELECT event_id, epoch_ms(ts) AS ts_ms, event_type, user_id
+FROM events WHERE epoch_ms(ts) < (SELECT MAX(epoch_ms(ts)) FROM events)
+ORDER BY ts_ms DESC, event_id DESC LIMIT 100
+"""
+
+
+def q_j3_cdx_star(spark, sf_dir):
+    """J3 (Database.java:397-433): crawl-log star join with broadcast dims."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("visits"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents"),
+        )
+        .orderBy("nation")
+    )
+
+
+SQL_J3 = """
+SELECT n_name AS nation, r_name AS region, COUNT(*) AS visits,
+       SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2 ORDER BY nation
+"""
+
+
+def q_a4_longest_rule(spark, sf_dir):
+    """A4 (Rule.java:33-42): longest matching pattern wins per group."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.length("p_type").desc(), F.col("p_type").asc())
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("longest_type"),
+            F.length("p_type").cast("long").alias("pattern_len"),
+        )
+        .orderBy("brand")
+    )
+
+
+SQL_A4 = """
+SELECT p_brand AS brand, p_type AS longest_type, CAST(LENGTH(p_type) AS BIGINT) AS pattern_len
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY LENGTH(p_type) DESC, p_type ASC) rn
+      FROM part) t
+WHERE rn = 1 ORDER BY brand
+"""
+
+
+def q_w3_visit_history(spark, sf_dir):
+    """W3 (Database.java:357-360): per-key newest-N history."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.unix_millis("l_shipdate").desc(), F.col("l_orderkey").desc(), F.col("l_linenumber").desc()
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_linenumber").cast("long").alias("linenumber"),
+            "rn",
+        )
+    )
+
+
+SQL_W3 = """
+SELECT l_partkey AS partkey, l_orderkey AS orderkey, CAST(l_linenumber AS BIGINT) AS linenumber, rn
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY
+        epoch_ms(l_shipdate) DESC, l_orderkey DESC, l_linenumber DESC) rn
+      FROM lineitem) t
+WHERE rn <= 3
+"""
+
+
+def q_a3_retention_expiry(spark, sf_dir):
+    """A3 (Database.java:455-474): keep-newest-K retention accounting."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(F.count("*").alias("n_total"))
+        .withColumn("n_expired", F.greatest(F.col("n_total") - 5, F.lit(0)))
+        .orderBy("user_id")
+    )
+
+
+SQL_A3 = """
+SELECT user_id, COUNT(*) AS n_total, GREATEST(COUNT(*) - 5, 0) AS n_expired
+FROM events GROUP BY 1 ORDER BY user_id
+"""
+
+
+def q_u1_merged_visits(spark, sf_dir):
+    """U1/W6 (Crawl.java:139-147): union of two visit sources, newest-first."""
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click")
+    b = e.filter(F.col("event_type") == "view")
+    return (
+        a.unionByName(b)
+        .select("event_id", F.unix_millis("ts").alias("ts_ms"), "event_type")
+        .orderBy(F.col("ts_ms").desc(), F.col("event_id").desc())
+        .limit(50)
+    )
+
+
+SQL_U1 = """
+SELECT event_id, epoch_ms(ts) AS ts_ms, event_type FROM (
+  SELECT * FROM events WHERE event_type = 'click'
+  UNION ALL SELECT * FROM events WHERE event_type = 'view')
+ORDER BY ts_ms DESC, event_id DESC LIMIT 50
+"""
+
+
+def q_c12_politeness(spark, sf_dir):
+    """C12 (Exchange.java:289-294): least(coalesce(delay*1000, 5000), cap)."""
+    s = _t(spark, sf_dir, "supplier")
+    crawl_delay = F.when(
+        F.col("s_acctbal") >= 0, F.floor(F.col("s_acctbal")).cast("long") % 10
+    )
+    delay = F.when(F.col("s_suppkey") % 13 == 0, F.lit(0)).otherwise(
+        F.least(F.coalesce(crawl_delay * 1000, F.lit(5000)), F.lit(30))
+    )
+    return s.select(F.col("s_suppkey").alias("suppkey"), delay.alias("delay_ms")).orderBy("suppkey")
+
+
+SQL_C12 = """
+SELECT s_suppkey AS suppkey,
+       CASE WHEN s_suppkey % 13 = 0 THEN 0
+            ELSE LEAST(COALESCE((CASE WHEN s_acctbal >= 0
+                   THEN CAST(FLOOR(s_acctbal) AS BIGINT) % 10 END) * 1000, 5000), 30) END AS delay_ms
+FROM supplier ORDER BY suppkey
+"""
+
+
+def q_c10_changefreq(spark, sf_dir):
+    """C10 (Sitemap.java:149-165): changefreq → revisit days, exact mapping."""
+    o = _t(spark, sf_dir, "orders")
+    cf = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", "always")
+        .when(F.col("o_orderpriority") == "2-HIGH", "hourly")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "weekly")
+        .when(F.col("o_orderpriority") == "4-NOT SPECIFIED", "monthly")
+        .otherwise("never")
+    )
+    days = (
+        F.when(F.col("changefreq").isin("always", "hourly", "daily"), 1)
+        .when(F.col("changefreq") == "weekly", 7)
+        .when(F.col("changefreq") == "monthly", 29)
+        .when(F.col("changefreq").isin("yearly", "never"), 365)
+    )
+    return (
+        o.select(F.col("o_orderkey").alias("orderkey"), cf.alias("changefreq"))
+        .withColumn("revisit_days", days.cast("long"))
+        .orderBy("orderkey")
+    )
+
+
+SQL_C10 = """
+WITH m AS (SELECT o_orderkey AS orderkey,
+  CASE o_orderpriority WHEN '1-URGENT' THEN 'always' WHEN '2-HIGH' THEN 'hourly'
+       WHEN '3-MEDIUM' THEN 'weekly' WHEN '4-NOT SPECIFIED' THEN 'monthly'
+       ELSE 'never' END AS changefreq FROM orders)
+SELECT orderkey, changefreq,
+  CAST(CASE WHEN changefreq IN ('always','hourly','daily') THEN 1
+       WHEN changefreq = 'weekly' THEN 7 WHEN changefreq = 'monthly' THEN 29
+       WHEN changefreq IN ('yearly','never') THEN 365 END AS BIGINT) AS revisit_days
+FROM m ORDER BY orderkey
+"""
+
+
+def q_c11_aimd(spark, sf_dir):
+    """C11 (Exchange.java:262-277): AIMD revisit — halve/double + clamp,
+    including the reference's inverted branch semantics."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_millis("ts").asc(), F.col("event_id").asc())
+    d = e.select(
+        "event_id", "user_id", F.unix_millis("ts").alias("ts_ms"),
+        (F.col("event_id") % 2 == 0).alias("revisited"),
+    ).withColumn("prev_ms", F.lag("ts_ms").over(w))
+    dur = F.col("ts_ms") - F.col("prev_ms")
+    raw = F.when(F.col("revisited"), F.floor(dur / 2).cast("long")).otherwise(dur * 2)
+    clamped = F.least(F.greatest(raw, F.lit(DAY_MS)), F.lit(365 * DAY_MS))
+    return (
+        d.filter(F.col("prev_ms").isNotNull())
+        .select("event_id", "user_id", (F.col("ts_ms") + clamped).alias("next_visit_ms"))
+        .orderBy("event_id")
+    )
+
+
+SQL_C11 = """
+WITH d AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, (event_id % 2 = 0) AS revisited,
+         LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) ASC, event_id ASC) AS prev_ms
+  FROM events)
+SELECT event_id, user_id,
+  ts_ms + LEAST(GREATEST(CASE WHEN revisited THEN CAST(FLOOR((ts_ms-prev_ms)/2.0) AS BIGINT)
+                              ELSE (ts_ms-prev_ms)*2 END, 86400000), 31536000000) AS next_visit_ms
+FROM d WHERE prev_ms IS NOT NULL ORDER BY event_id
+"""
+
+
+def q_w5_rule_scan(spark, sf_dir):
+    """W5 (Rule.java:48-67): regex-matching full-table rescan with computed
+    next-visit column."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_type").rlike("^(ECONOMY|PROMO)"))
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_type").alias("ptype"),
+            (F.length("p_type").cast("long") * DAY_MS).alias("next_visit_ms"),
+        )
+        .orderBy("partkey")
+    )
+
+
+SQL_W5 = """
+SELECT p_partkey AS partkey, p_type AS ptype,
+       CAST(LENGTH(p_type) AS BIGINT) * 86400000 AS next_visit_ms
+FROM part WHERE regexp_matches(p_type, '^(ECONOMY|PROMO)') ORDER BY partkey
+"""
+
+
+def q_f9_pushdown_scan(spark, sf_dir):
+    """F filters + projections (Database.java DAO column lists): predicate
+    pushdown + column pruning reach the parquet scan (see README explain)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_F9 = """
+SELECT l_returnflag, COUNT(*) AS n, SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS cents
+FROM lineitem WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline operators (documents / embeddings)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    from chronicrawl_spark.extras.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, key=F.substring("text", 1, 40))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(substr(text,1,40)) AS text_hash, COUNT(*) AS n_dups, MIN(doc_id) AS canonical_doc_id
+FROM documents GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY text_hash
+"""
+
+
+def q_dedup_word_jaccard(spark, sf_dir):
+    from chronicrawl_spark.extras.dedup import word_jaccard_pairs
+
+    return word_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.9)
+
+
+SQL_DEDUP_WORD_JACCARD = """
+WITH w AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS word FROM documents),
+wd AS (SELECT DISTINCT doc_id, word FROM w WHERE word <> ''),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM wd GROUP BY 1),
+c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM wd a JOIN wd b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1,2)
+SELECT doc_a, doc_b, common,
+       CAST(ROUND(common*1000000.0/(sa.sz+sb.sz-common)) AS BIGINT) AS jaccard_e6
+FROM c JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+WHERE CAST(ROUND(common*1000000.0/(sa.sz+sb.sz-common)) AS BIGINT) >= 900000
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from chronicrawl_spark.extras.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.8, max_df=10**9)
+
+
+SQL_DEDUP_NGRAM_JACCARD = """
+WITH g AS (SELECT DISTINCT doc_id, substr(text, i.i, 3) AS gram
+           FROM documents d, LATERAL (SELECT unnest(range(1, GREATEST(LENGTH(d.text)-2,0)+1)) AS i) i
+           WHERE LENGTH(substr(text, i.i, 3)) = 3),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY 1),
+c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1,2)
+SELECT doc_a, doc_b, CAST(ROUND(common*1000000.0/(sa.sz+sb.sz-common)) AS BIGINT) AS jaccard_e6
+FROM c JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+WHERE CAST(ROUND(common*1000000.0/(sa.sz+sb.sz-common)) AS BIGINT) >= 800000
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from chronicrawl_spark.extras.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
+
+
+_MH_AGGS = ", ".join(f"min(md5('s{i}|' || sh)) AS mh{i}" for i in range(6))
+SQL_DEDUP_MINHASH_LSH = f"""
+WITH w AS (SELECT doc_id, string_split(lower(text),' ') AS l FROM documents),
+sh AS (SELECT doc_id, unnest(list_transform(range(1, GREATEST(len(l)-2,0)+1),
+              i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh FROM w),
+shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+sig AS (SELECT doc_id, {_MH_AGGS} FROM shd GROUP BY 1),
+b AS (SELECT 0 AS band, md5(mh0 || '|' || mh1) AS bucket, doc_id FROM sig
+      UNION ALL SELECT 1, md5(mh2 || '|' || mh3), doc_id FROM sig
+      UNION ALL SELECT 2, md5(mh4 || '|' || mh5), doc_id FROM sig)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(a.band AS INT) AS band
+FROM b a JOIN b b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b, band
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from chronicrawl_spark.extras.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+_SIMHASH_VOTES = ", ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(32)
+)
+_SIMHASH_BITS = " + ".join(f"(CASE WHEN v{b} > 0 THEN 1 ELSE 0 END) * {1 << b}" for b in range(32))
+SQL_DEDUP_SIMHASH = f"""
+WITH w AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS word FROM documents),
+wd AS (SELECT DISTINCT doc_id, word FROM w WHERE word <> ''),
+h AS (SELECT doc_id, CAST(CONCAT('0x', substr(md5(word),1,8)) AS BIGINT) AS h FROM wd),
+v AS (SELECT doc_id, {_SIMHASH_VOTES} FROM h GROUP BY 1)
+SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash FROM v ORDER BY doc_id
+"""
+
+
+def q_embed_dup_pairs(spark, sf_dir):
+    from chronicrawl_spark.extras.dedup import embedding_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return embedding_dup_pairs(e, threshold=0.95)
+
+
+SQL_EMBED_DUPS = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  CAST(ROUND(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]))
+    / (sqrt(list_sum(list_transform(a.v, x -> x*x))) * sqrt(list_sum(list_transform(b.v, x -> x*x))))
+    * 1000000) AS BIGINT) AS cos_e6
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE CAST(ROUND(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]))
+    / (sqrt(list_sum(list_transform(a.v, x -> x*x))) * sqrt(list_sum(list_transform(b.v, x -> x*x))))
+    * 1000000) AS BIGINT) >= 950000
+ORDER BY vec_a, vec_b
+"""
+
+
+def q_embed_cosine_topk(spark, sf_dir):
+    from chronicrawl_spark.extras.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return cosine_topk(e, k=20)
+
+
+SQL_EMBED_COSINE_TOPK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e ORDER BY vec_id LIMIT 1)
+SELECT vec_id,
+  CAST(ROUND(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*qv[i]))
+    / (sqrt(list_sum(list_transform(v, x -> x*x))) * sqrt(list_sum(list_transform(qv, x -> x*x))))
+    * 1000000) AS BIGINT) AS cos_e6
+FROM e, q ORDER BY cos_e6 DESC, vec_id ASC LIMIT 20
+"""
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    from chronicrawl_spark.extras.similarity import ann_topk
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return ann_topk(e, k=10)
+
+
+# hyperplane: dim i (0-based), bit b → ((i*31 + b*17) % 7) - 3; DuckDB lambda
+# index is 1-based hence (i-1).
+_ANN_BITS = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(range(1, len(v)+1), i -> v[i] * ((((i-1)*31 + {b}*17) % 7) - 3))) >= 0 THEN {1 << b} ELSE 0 END)"
+    for b in range(8)
+)
+SQL_ANN_LSH_TOPK = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bk AS (SELECT vec_id, CAST({_ANN_BITS} AS BIGINT) AS bucket FROM e),
+q AS (SELECT v AS qv FROM e ORDER BY vec_id LIMIT 1),
+qb AS (SELECT bucket AS qbucket FROM bk ORDER BY vec_id LIMIT 1),
+cand AS (SELECT vec_id FROM bk, qb WHERE bucket = qbucket)
+SELECT e.vec_id,
+  CAST(ROUND(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*qv[i]))
+    / (sqrt(list_sum(list_transform(v, x -> x*x))) * sqrt(list_sum(list_transform(qv, x -> x*x))))
+    * 1000000) AS BIGINT) AS cos_e6
+FROM e JOIN cand ON e.vec_id = cand.vec_id, q
+ORDER BY cos_e6 DESC, e.vec_id ASC LIMIT 10
+"""
+
+
+def q_text_langid(spark, sf_dir):
+    from chronicrawl_spark.extras.textstats import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+def _sql_langid():
+    from chronicrawl_spark.extras.textstats import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    hits = ", ".join(
+        "len(list_intersect(list_distinct(string_split(lower(text),' ')), ["
+        + ", ".join(f"'{m}'" for m in LANG_MARKERS[lg])
+        + f"])) AS hits_{lg}"
+        for lg in langs
+    )
+    best = "GREATEST(" + ", ".join(f"hits_{lg}" for lg in langs) + ")"
+    pred = "CASE " + " ".join(f"WHEN hits_{lg} = {best} THEN '{lg}'" for lg in langs) + " END"
+    return f"""
+WITH s AS (SELECT doc_id, lang, {hits} FROM documents)
+SELECT doc_id, lang AS actual_lang, {pred} AS pred_lang, CAST({best} AS INT) AS marker_hits
+FROM s ORDER BY doc_id
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    from chronicrawl_spark.extras.textstats import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_QUALITY = """
+WITH s AS (SELECT doc_id, text,
+       GREATEST(len(string_split(lower(text),' ')), 1) AS n_words,
+       len(list_intersect(list_distinct(string_split(lower(text),' ')),
+           ['the','a','of','and','to','value','key','fast','slow','table'])) AS stop_hits,
+       LENGTH(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS non_alnum
+     FROM documents),
+m AS (SELECT doc_id, n_words, stop_hits, non_alnum,
+       (LENGTH(text) - (n_words - 1)) * 1.0 / n_words AS mean_wlen, LENGTH(text) AS tl
+     FROM s JOIN documents USING (doc_id))
+SELECT doc_id, CAST(n_words AS INT) AS n_words,
+  CAST(ROUND(mean_wlen * 100) AS BIGINT) AS mean_word_len_e2,
+  CAST(stop_hits AS INT) AS stopword_hits,
+  CAST(ROUND((LEAST(tl/400.0, 1.0)*40
+    + (CASE WHEN mean_wlen >= 3 AND mean_wlen <= 10 THEN 30 ELSE 0 END)
+    + LEAST(stop_hits*5.0, 20.0)
+    + (CASE WHEN non_alnum*1.0/GREATEST(tl,1) < 0.1 THEN 10 ELSE 0 END)) * 100) AS BIGINT) AS quality_e2
+FROM m ORDER BY doc_id
+"""
+
+
+def q_token_count(spark, sf_dir):
+    from chronicrawl_spark.extras.textstats import token_count
+
+    return token_count(_t(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id,
+  CAST(len(regexp_split_to_array(trim(text), ' +')) AS INT) AS ws_tokens,
+  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS bpe_ish_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from chronicrawl_spark.extras.textstats import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+SQL_DOC_FINGERPRINT = """
+WITH w AS (SELECT doc_id, string_split(lower(text),' ') AS l FROM documents),
+sh AS (SELECT doc_id, list_transform(range(1, GREATEST(len(l)-2,0)+1),
+              i -> md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS hs FROM w)
+SELECT doc_id, list_min(hs) AS fp_min, list_max(hs) AS fp_max FROM sh ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# crawl-pipeline rows-only entries (non-SQL-expressible: full engine, UDFs)
+# --------------------------------------------------------------------------
+
+def q_crawl_fixture_trace(spark, sf_dir):
+    """Runs the full wave engine (k=1 sequential-parity mode) on the
+    reference fixture site; returns the visit trace.  Oracle: the
+    hand-derived reference trace is asserted in tests/test_crawl_parity.py;
+    the driver records a rows-only check here."""
+    from chronicrawl_spark.crawl import CrawlConfig, CrawlEngine
+    from chronicrawl_spark.fixtures import test_server_site
+    from chronicrawl_spark.tables import StateStore
+
+    tmp = tempfile.mkdtemp(prefix="chronicrawl_trace_")
+    store = StateStore(spark, os.path.join(tmp, "state"), buckets=4)
+    engine = CrawlEngine(spark, store, test_server_site(spark), CrawlConfig())
+    engine.add_seeds(["http://test.example"], now=1_600_000_000_000)
+    engine.run(max_waves=9, k_origins=1, per_host_k=1)
+    visits = store.read("visits")
+    frontier = store.read("frontier").select("origin_id", "path_id", "path")
+    return (
+        visits.join(frontier, ["origin_id", "path_id"])
+        .select("date", "path", F.col("status").cast("int").alias("status"), "content_type")
+        .orderBy("date")
+    )
+
+
+def q_image_decode_verify(spark, sf_dir):
+    """Image payload plumbing: binary column → Arrow batch → numpy decode →
+    phash/caption verification (input_hint per-row invariant).  BMP decode
+    is real; jpeg/gif are stubbed (no imaging libs in sandbox)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from chronicrawl_spark.extras.imaging import decode_image, phash64, psnr
+    from chronicrawl_spark.fixtures import make_images, make_test_image
+
+    imgs = make_images(spark, n=16, w=32, h=24)
+
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("phash_match", T.BooleanType()),
+            T.StructField("psnr_ok", T.BooleanType()),
+            T.StructField("caption", T.StringType()),
+        ]
+    )
+
+    def verify(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.to_dict("records"):
+                px = decode_image(bytes(r["bytes"]), r["fmt"])
+                ref = make_test_image(r["w"], r["h"], seed=int(r["image_id"][3:]))
+                out.append(
+                    (
+                        r["image_id"],
+                        phash64(px) == r["phash"],
+                        psnr(px, ref) >= 40.0,
+                        r["caption"],
+                    )
+                )
+            yield pd.DataFrame(out, columns=["image_id", "phash_match", "psnr_ok", "caption"])
+
+    return imgs.mapInPandas(verify, schema).orderBy("image_id")
+
+
+def q_schedule_next_fire(spark, sf_dir):
+    """C13 calendar schedules: the 13 built-ins applied to a fixed instant
+    (bitmask stepping UDF; vectors from ScheduleTest.java)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from chronicrawl_spark.functions.schedule import BUILTIN_SCHEDULES, batch_apply
+
+    sched = {s.id: s for s in BUILTIN_SCHEDULES}
+    t0 = 1_596_717_261_000  # 2020-08-06T12:34:21Z
+    rows = [(s.id, s.name) for s in BUILTIN_SCHEDULES]
+    df = spark.createDataFrame(rows, "id long, name string")
+
+    @F.pandas_udf(T.LongType())
+    def nxt(ids: pd.Series) -> pd.Series:
+        return pd.Series(batch_apply(sched, ids.tolist(), [t0] * len(ids)), dtype="object")
+
+    return df.withColumn("next_fire_ms", nxt(F.col("id"))).orderBy("id")
+
+
+def q_bloom_urlseen(spark, sf_dir):
+    """B-axis: distributed bloom URL-seen filter — per-partition builds
+    merged via treeAggregate, verified against exact membership."""
+    from chronicrawl_spark.operators.seen import bloom_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    keys = li.select((F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("key"))
+    probe_hit = keys.limit(500)
+    probe_miss = keys.select((F.col("key") + F.lit(10_000_000_000)).alias("key")).limit(500)
+    return bloom_stats(spark, keys, probe_hit, probe_miss)
+
+
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the W2 wave-selection operator (the crawl engine's heart)
+    at sf0.001."""
+    return q_w2_wave_select(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # crawl-semantics operators (SURVEY §2) — oracle-verified
+        "w2_wave_select": q_w2_wave_select,
+        "w1_origin_peek": q_w1_origin_peek,
+        "j5_urlseen_antijoin": q_j5_urlseen_antijoin,
+        "j6_asof_furthest": q_j6_asof_furthest,
+        "j7_digest_dedupe": q_j7_digest_dedupe,
+        "a1_metrics_buckets": q_a1_metrics_buckets,
+        "w4_log_pagination": q_w4_log_pagination,
+        "j3_cdx_star": q_j3_cdx_star,
+        "a4_longest_rule": q_a4_longest_rule,
+        "w3_visit_history": q_w3_visit_history,
+        "a3_retention_expiry": q_a3_retention_expiry,
+        "u1_merged_visits": q_u1_merged_visits,
+        "c12_politeness": q_c12_politeness,
+        "c10_changefreq": q_c10_changefreq,
+        "c11_aimd": q_c11_aimd,
+        "w5_rule_scan": q_w5_rule_scan,
+        "f9_pushdown_scan": q_f9_pushdown_scan,
+        # training-data pipeline operators — oracle-verified
+        "dedup_exact": q_dedup_exact,
+        "dedup_word_jaccard": q_dedup_word_jaccard,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "embed_dup_pairs": q_embed_dup_pairs,
+        "embed_cosine_topk": q_embed_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "text_langid": q_text_langid,
+        "text_quality": q_text_quality,
+        "token_count": q_token_count,
+        "doc_fingerprint": q_doc_fingerprint,
+        # crawl-pipeline components — rows-only (non-SQL-expressible)
+        "crawl_fixture_trace": q_crawl_fixture_trace,
+        "image_decode_verify": q_image_decode_verify,
+        "schedule_next_fire": q_schedule_next_fire,
+        "bloom_urlseen": q_bloom_urlseen,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "w2_wave_select": SQL_W2,
+        "w1_origin_peek": SQL_W1,
+        "j5_urlseen_antijoin": SQL_J5,
+        "j6_asof_furthest": SQL_J6,
+        "j7_digest_dedupe": SQL_J7,
+        "a1_metrics_buckets": SQL_A1,
+        "w4_log_pagination": SQL_W4,
+        "j3_cdx_star": SQL_J3,
+        "a4_longest_rule": SQL_A4,
+        "w3_visit_history": SQL_W3,
+        "a3_retention_expiry": SQL_A3,
+        "u1_merged_visits": SQL_U1,
+        "c12_politeness": SQL_C12,
+        "c10_changefreq": SQL_C10,
+        "c11_aimd": SQL_C11,
+        "w5_rule_scan": SQL_W5,
+        "f9_pushdown_scan": SQL_F9,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_word_jaccard": SQL_DEDUP_WORD_JACCARD,
+        "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+        "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+        "dedup_simhash": SQL_DEDUP_SIMHASH,
+        "embed_dup_pairs": SQL_EMBED_DUPS,
+        "embed_cosine_topk": SQL_EMBED_COSINE_TOPK,
+        "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+        "text_langid": _sql_langid(),
+        "text_quality": SQL_TEXT_QUALITY,
+        "token_count": SQL_TOKEN_COUNT,
+        "doc_fingerprint": SQL_DOC_FINGERPRINT,
+        # crawl_fixture_trace / image_decode_verify / schedule_next_fire /
+        # bloom_urlseen: intentionally omitted (non-SQL-expressible pipeline
+        # components; rows-only check)
+    }

@@ -1,0 +1,656 @@
+"""The crawl engine: micro-batch "fetch waves" over snapshot state tables.
+
+One ``step()`` is the wave analog of the reference's sequential
+``Crawl.step()`` (``Crawl.java:95-131``) — same state transitions, executed
+as declarative DataFrame ops over the whole eligible set at a virtual
+timestamp T:
+
+  read origins+frontier snapshots → F1/F2 eligibility at T → J1/J2 joins →
+  W2 salted top-k per host → robots gate (F3) → join-based fetch (S2) +
+  as-of conditional-GET (J6, quirk preserved) → sha1 digest (C6) + digest
+  dedupe (J7) → visits/warc append → AIMD next-visit (C11) + politeness
+  (C12) MERGEs → process discoveries (S4-S7) → depth/scheme filters (F4/F5)
+  → URL-seen anti-join MERGE (J5) → snapshot commit.
+
+Determinism: the wave clock T advances to ``min(origin.next_visit)`` when
+idle (the reference sleeps until then — ``Crawl.java:115-122``); every
+fetch in a wave is stamped T.  With ``k_origins=1, per_host_k=1`` the engine
+reproduces the reference's sequential crawl ordering exactly (the parity
+oracle); with unbounded origins and per-host budgets it is the throughput
+product — same final URL-seen set on confluent fixtures.
+
+Parking quirk preserved: an origin whose queue is empty gets
+``next_visit = NULL`` and drops out of F1 permanently (``Crawl.java:
+123-126``) — nothing un-parks it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .functions.schedule import BUILTIN_SCHEDULES, batch_apply
+from .functions.udfs import url_parts
+from .functions.urlkit import Url
+from .operators.process import process_success_rows
+from .operators.wave import eligible_origins, select_wave
+from .sources import content as C
+from .sources.fetchsim import simulate_fetch
+from .tables import StateStore
+
+DAY_MS = 86_400_000
+
+
+@dataclass
+class CrawlConfig:
+    """Reference defaults (``Config.java``)."""
+
+    robots_policy: str = "STRICT"  # STRICT | PAGES_ONLY | IGNORE
+    max_depth: int = 10  # Config.java:120
+    max_delay_millis: int = 30  # Config.java:114 (load-bearing for ordering)
+    min_revisit_ms: int = 1 * DAY_MS  # Config.java:126
+    max_revisit_ms: int = 365 * DAY_MS  # Config.java:132
+    initial_revisit_html_ms: int = 2 * DAY_MS  # Config.java:139
+    initial_revisit_other_ms: int = 7 * DAY_MS  # Config.java:146
+    dedupe_server: bool = True  # Config.java:190
+    dedupe_digest: bool = True  # Config.java:196
+    dedupe_min_length: int = 64  # Config.java:202
+    max_robots_bytes: int = 512 * 1024  # Config.java:102
+    user_agent: str = "Chronicrawl/spark"
+    check_collisions: bool = False  # xxh64 collision guard (Database.java:196-198)
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: StateStore,
+        site: DataFrame,
+        config: CrawlConfig | None = None,
+    ):
+        self.spark = spark
+        self.store = store
+        self.site = site
+        self.config = config or CrawlConfig()
+        self.schedules = {s.id: s for s in BUILTIN_SCHEDULES}
+        self.clock: int | None = None  # virtual time (epoch millis)
+
+    # ------------------------------------------------------------- seeding
+    def add_seeds(self, urls: list[str], now: int) -> None:
+        """``Crawl.addSeed`` (``Crawl.java:63-70``): upsert CONTINUOUS origin,
+        enqueue /robots.txt (ROBOTS) and the seed itself (PAGE)."""
+        origin_rows, frontier_rows = [], []
+        for u in urls:
+            url = Url(u)
+            robots = url.resolve("/robots.txt")
+            origin_rows.append((url.origin_id(), url.origin, now, "CONTINUOUS", None, now, None, None))
+            frontier_rows.append(
+                (robots.origin_id(), robots.path_id(), robots.pathref, "ROBOTS", 0, None, None, now, None, now)
+            )
+            frontier_rows.append(
+                (url.origin_id(), url.path_id(), url.pathref, "PAGE", 0, None, None, now, None, now)
+            )
+        origins_df = self.spark.createDataFrame(origin_rows, self.store.read("origins").schema)
+        self.store.merge("origins", origins_df, "insert_if_absent")
+        # updateCrawlPolicy → CONTINUOUS even if the origin pre-existed
+        existing = self.store.read_staged("origins").join(
+            origins_df.select("origin_id"), "origin_id", "left_semi"
+        )
+        self.store.merge("origins", existing.withColumn("crawl_policy", F.lit("CONTINUOUS")), "upsert")
+        frontier_df = self.spark.createDataFrame(frontier_rows, self.store.read("frontier").schema)
+        self.store.merge("frontier", frontier_df, "insert_if_absent")
+        wave = self.store.committed_wave + 1
+        self.store.commit(wave)
+        if self.clock is None:
+            self.clock = now
+
+    # ------------------------------------------------------------ the wave
+    def step(
+        self,
+        k_origins: int | None = None,
+        per_host_k: int = 1,
+        salt: int | None = None,
+    ) -> dict:
+        cfg = self.config
+        store = self.store
+        origins = store.read("origins")
+        frontier = store.read("frontier")
+
+        # F1 + virtual clock advance (Crawl.java:104-122)
+        elig_all = origins.filter(
+            (F.col("crawl_policy") == "CONTINUOUS") & F.col("next_visit").isNotNull()
+        )
+        nv_min = elig_all.agg(F.min("next_visit").alias("m")).first()["m"]
+        if nv_min is None:
+            return {"idle": True, "fetched": 0}
+        T = max(self.clock or 0, nv_min)
+        self.clock = T
+
+        elig = eligible_origins(origins.withColumn("discovered", F.col("discovered")), T)
+        if k_origins is not None:
+            picked = (
+                elig.orderBy(F.col("next_visit").asc(), F.col("discovered").asc(), F.col("origin_id").asc())
+                .limit(k_origins)
+                .select("origin_id")
+            )
+            elig = elig.join(F.broadcast(picked), "origin_id", "left_semi")
+
+        se = store.read("sitemap_entries")
+        wave = select_wave(frontier, elig.withColumn("discovered", F.col("discovered")), se, T, k=per_host_k, salt=salt)
+        # carry origin.discovered for the full-row origin upsert
+        wave = wave.join(origins.select("origin_id", F.col("discovered").alias("o_discovered")), "origin_id", "left")
+        wave = wave.persist()
+        n_wave = wave.count()
+
+        # park eligible origins with no due locations (Crawl.java:123-126)
+        parked = elig.join(wave.select("origin_id").distinct(), "origin_id", "left_anti")
+        parked_rows = parked.withColumn("last_visit", F.lit(T)).withColumn(
+            "next_visit", F.lit(None).cast("long")
+        )
+        n_parked = store.merge("origins", parked_rows, "upsert") if not parked.isEmpty() else 0
+
+        if n_wave == 0:
+            wave.unpersist()
+            w = store.committed_wave + 1
+            store.commit(w)
+            return {"wave": w, "ts": T, "fetched": 0, "parked": n_parked}
+
+        exch = self._exchange(wave, T)
+        exch = exch.persist()
+
+        self._append_visits_and_warc(exch, T)
+        n_fetched = self._update_frontier_visit_data(exch, T)
+        self._update_origins(exch, wave, T)
+        n_disc = self._discover_and_enqueue(exch, T)
+        self._append_metrics(exch, T)
+
+        w = store.committed_wave + 1
+        store.commit(w)
+        wave.unpersist()
+        exch.unpersist()
+        return {"wave": w, "ts": T, "fetched": n_fetched, "parked": n_parked, "discovered": n_disc}
+
+    def run(self, max_waves: int, **kw) -> list[dict]:
+        out = []
+        for _ in range(max_waves):
+            s = self.step(**kw)
+            out.append(s)
+            if s.get("idle"):
+                break
+        return out
+
+    # ------------------------------------------------------ exchange stage
+    def _robots_gate(self, wave: DataFrame) -> DataFrame:
+        cfg = self.config
+        if cfg.robots_policy == "IGNORE":
+            return wave.withColumn("allowed", F.lit(True))
+        ua = cfg.user_agent
+
+        @F.pandas_udf(T.BooleanType())
+        def is_allowed(robots: pd.Series, urls: pd.Series) -> pd.Series:
+            cache: dict[int, C.RobotRules] = {}
+            out = []
+            for raw, u in zip(robots.tolist(), urls.tolist()):
+                if raw is None:
+                    out.append(True)
+                    continue
+                key = id(raw) if not isinstance(raw, (bytes, bytearray)) else hash(bytes(raw))
+                r = cache.get(key)
+                if r is None:
+                    r = C.parse_robots(bytes(raw), ua)
+                    cache[key] = r
+                out.append(r.is_allowed(u))
+            return pd.Series(out)
+
+        allowed = is_allowed(F.col("robots_txt"), F.col("url"))
+        if cfg.robots_policy == "PAGES_ONLY":
+            allowed = (F.col("location_type") != "PAGE") | allowed
+        return wave.withColumn("allowed", allowed)
+
+    def _exchange(self, wave: DataFrame, T: int) -> DataFrame:
+        """Robots gate → fetch → digest → dedupe; one row per exchange."""
+        cfg = self.config
+        gated = self._robots_gate(wave)
+        allowed = gated.filter(F.col("allowed"))
+        denied = (
+            gated.filter(~F.col("allowed"))
+            .withColumn("status", F.lit(C.ROBOTS_DISALLOWED))
+            .withColumn("content_type", F.lit(None).cast("string"))
+            .withColumn("body", F.lit(None).cast("binary"))
+            .withColumn("etag", F.lit(None).cast("string"))
+            .withColumn("last_modified", F.lit(None).cast("string"))
+            .withColumn("loc_header", F.lit(None).cast("string"))
+            .withColumn("prev_date", F.lit(None).cast("long"))
+        )
+        fetched = simulate_fetch(
+            allowed,
+            self.site,
+            self.store.read("visits"),
+            self.store.read("warc_records"),
+            T,
+            dedupe_server=cfg.dedupe_server,
+        )
+        exch = fetched.unionByName(denied.select(*fetched.columns))
+        exch = exch.withColumn(
+            "content_length",
+            F.when(F.col("status") > 0, F.length(F.coalesce(F.col("body"), F.lit(b"")))).otherwise(
+                F.lit(0)
+            ),
+        ).withColumn(
+            "digest",
+            F.when(
+                F.col("status") > 0, F.unhex(F.sha1(F.coalesce(F.col("body"), F.lit(b""))))
+            ).otherwise(F.lit(None).cast("binary")),
+        )
+        exch = exch.withColumn("digest8", F.expr("substring(digest, 1, 8)"))
+
+        # J7 digest dedupe (Storage.java:114-137): same (origin,path), prior
+        # non-revisit visit with same truncated digest, full-digest recheck
+        # against the stored WARC payload, min(date) pinned for determinism.
+        if cfg.dedupe_digest:
+            visits = self.store.read("visits")
+            warc = self.store.read("warc_records")
+            originals = (
+                visits.filter(
+                    F.col("revisit_of_date").isNull() & F.col("response_payload_digest").isNotNull()
+                )
+                .select(
+                    "origin_id",
+                    "path_id",
+                    F.col("date").alias("__v_date"),
+                    F.col("response_payload_digest").alias("__v_digest8"),
+                )
+                .join(
+                    warc.filter(F.col("record_type") == "response").select(
+                        "origin_id",
+                        "path_id",
+                        F.col("date").alias("__v_date"),
+                        F.col("payload_digest").alias("__v_digest"),
+                    ),
+                    ["origin_id", "path_id", "__v_date"],
+                    "left",
+                )
+            )
+            cand = exch.filter(
+                F.col("prev_date").isNull()
+                & (F.col("status") > 0)
+                & (F.col("content_length") >= cfg.dedupe_min_length)
+            ).select("origin_id", "path_id", "digest8", "digest")
+            dups = (
+                cand.join(originals, ["origin_id", "path_id"], "inner")
+                .filter(
+                    (F.col("__v_digest8") == F.col("digest8"))
+                    & (F.col("__v_digest") == F.col("digest"))
+                )
+                .groupBy("origin_id", "path_id")
+                .agg(F.min("__v_date").alias("dup_date"))
+            )
+            exch = exch.join(dups, ["origin_id", "path_id"], "left")
+        else:
+            exch = exch.withColumn("dup_date", F.lit(None).cast("long"))
+        return exch.withColumn("revisit_of_date", F.coalesce(F.col("prev_date"), F.col("dup_date")))
+
+    # --------------------------------------------------------- state sinks
+    def _append_visits_and_warc(self, exch: DataFrame, T: int) -> None:
+        date_s = F.lit(T).cast("string")
+        with_ids = exch.withColumn("date_s", date_s)
+        resp_id = F.unhex(
+            F.substring(F.sha1(F.concat_ws("|", F.col("url"), F.col("date_s"), F.lit("response"))), 1, 32)
+        )
+        req_id = F.unhex(
+            F.substring(F.sha1(F.concat_ws("|", F.col("url"), F.col("date_s"), F.lit("request"))), 1, 32)
+        )
+        visits = with_ids.select(
+            "origin_id",
+            "path_id",
+            F.lit(T).alias("date"),
+            F.lit("GET").alias("method"),
+            F.col("status").cast("short").alias("status"),
+            # visit insert coalesces unknown content types to octet-stream
+            # (Database.java:372-373)
+            F.coalesce(F.col("content_type"), F.lit("application/octet-stream")).alias("content_type"),
+            F.col("content_length"),
+            F.when(F.col("status") > 0, resp_id).alias("warc_id"),
+            F.lit(None).cast("long").alias("request_position"),
+            F.lit(None).cast("long").alias("request_length"),
+            F.lit(None).cast("long").alias("response_position"),
+            F.lit(None).cast("long").alias("response_length"),
+            F.col("digest8").alias("response_payload_digest"),
+            "revisit_of_date",
+        )
+        self.store.append("visits", visits, self.store.committed_wave + 1)
+
+        stored = with_ids.filter(F.col("status") > 0)
+        requests = stored.select(
+            req_id.alias("warc_id"),
+            F.lit("request").alias("record_type"),
+            "url",
+            F.lit(T).alias("date"),
+            "origin_id",
+            "path_id",
+            F.lit(None).cast("binary").alias("payload"),
+            F.lit(None).cast("binary").alias("payload_digest"),
+            F.lit(None).cast("long").alias("refers_to_date"),
+            F.lit(None).cast("string").alias("profile"),
+            F.lit(None).cast("string").alias("etag"),
+            F.lit(None).cast("string").alias("last_modified"),
+        )
+        responses = stored.select(
+            resp_id.alias("warc_id"),
+            F.when(F.col("revisit_of_date").isNotNull(), F.lit("revisit"))
+            .otherwise(F.lit("response"))
+            .alias("record_type"),
+            "url",
+            F.lit(T).alias("date"),
+            "origin_id",
+            "path_id",
+            F.when(F.col("revisit_of_date").isNull(), F.col("body")).alias("payload"),
+            F.col("digest").alias("payload_digest"),
+            F.col("revisit_of_date").alias("refers_to_date"),
+            F.when(
+                F.col("revisit_of_date").isNotNull(),
+                F.when(F.col("prev_date").isNotNull(), F.lit("server_not_modified")).otherwise(
+                    F.lit("identical_payload_digest")
+                ),
+            ).alias("profile"),
+            "etag",
+            "last_modified",
+        )
+        self.store.append("warc_records", requests.unionByName(responses), self.store.committed_wave + 1)
+
+    def _rule_next_visit(self, exch: DataFrame) -> DataFrame:
+        """A4 + C13: longest matching rule pattern → schedule → next fire.
+        Returns (origin_id, path_id, nv_schedule)."""
+        rules = self.store.read("rules")
+        if rules.isEmpty():
+            return None
+        joined = exch.select("origin_id", "path_id", "path").join(rules, "origin_id", "inner")
+
+        @F.pandas_udf(T.BooleanType())
+        def rule_matches(patterns: pd.Series, pathrefs: pd.Series) -> pd.Series:
+            import re as _re
+
+            cache = {}
+            out = []
+            for pat, pr in zip(patterns.tolist(), pathrefs.tolist()):
+                rx = cache.get(pat)
+                if rx is None:
+                    try:
+                        rx = _re.compile(pat)
+                    except _re.error:
+                        rx = False
+                    cache[pat] = rx
+                # Java Pattern.matches() = full match (Rule.java:29-31)
+                out.append(bool(rx.fullmatch(pr)) if rx else False)
+            return pd.Series(out)
+
+        matched = joined.filter(rule_matches(F.col("pattern"), F.col("path")))
+        w = Window.partitionBy("origin_id", "path_id").orderBy(
+            F.length("pattern").desc(), F.col("pattern").asc()
+        )
+        best = (
+            matched.withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") == 1) & F.col("schedule_id").isNotNull())
+            .select("origin_id", "path_id", "schedule_id")
+        )
+        schedules = self.schedules
+
+        @F.pandas_udf(T.LongType())
+        def schedule_next(sids: pd.Series, dates: pd.Series) -> pd.Series:
+            return pd.Series(
+                batch_apply(schedules, sids.tolist(), dates.tolist()), dtype="object"
+            )
+
+        return best.withColumn("nv_schedule", schedule_next(F.col("schedule_id"), F.lit(self.clock)))
+
+    def _update_frontier_visit_data(self, exch: DataFrame, T: int) -> int:
+        """C10/C11 next-visit cascade + updateVisitData MERGE."""
+        cfg = self.config
+        nv_rule = self._rule_next_visit(exch)
+        out = exch
+        if nv_rule is not None:
+            out = out.join(nv_rule.select("origin_id", "path_id", "nv_schedule"), ["origin_id", "path_id"], "left")
+        else:
+            out = out.withColumn("nv_schedule", F.lit(None).cast("long"))
+
+        days = (
+            F.when(F.lower(F.col("changefreq")).isin("always", "hourly", "daily"), F.lit(1))
+            .when(F.lower(F.col("changefreq")) == "weekly", F.lit(7))
+            .when(F.lower(F.col("changefreq")) == "monthly", F.lit(29))
+            .when(F.lower(F.col("changefreq")).isin("yearly", "never"), F.lit(365))
+        )
+        nv_changefreq = F.when(days.isNotNull(), F.lit(T) + days.cast("long") * F.lit(DAY_MS))
+
+        dur = F.lit(T) - F.col("last_visit")
+        # Exchange.java:264-277 — the inverted-AIMD branch, copied exactly:
+        # revisitOf != null (payload UNCHANGED) → halve; else double.
+        raw_next = F.when(F.col("revisit_of_date").isNotNull(), (dur / 2).cast("long")).otherwise(
+            dur * 2
+        )
+        clamped = F.least(F.greatest(raw_next, F.lit(cfg.min_revisit_ms)), F.lit(cfg.max_revisit_ms))
+        nv_aimd = F.when(F.col("last_visit").isNotNull(), F.lit(T) + clamped)
+
+        is_html = F.col("content_type").isNotNull() & (
+            F.trim(F.split(F.col("content_type"), ";").getItem(0)) == "text/html"
+        )
+        nv_initial = F.when(is_html, F.lit(T + cfg.initial_revisit_html_ms)).otherwise(
+            F.lit(T + cfg.initial_revisit_other_ms)
+        )
+
+        updated = out.withColumn(
+            "next_visit", F.coalesce("nv_schedule", nv_changefreq, nv_aimd, nv_initial)
+        ).withColumn("last_visit", F.lit(T))
+        frontier_rows = updated.select(
+            "origin_id", "path_id", "path", "location_type", "depth",
+            "via_origin_id", "via_path_id", "discovered", "last_visit", "next_visit",
+        )
+        self.store.merge("frontier", frontier_rows, "upsert")
+        return updated.count()
+
+    def _update_origins(self, exch: DataFrame, wave: DataFrame, T: int) -> None:
+        """C12 politeness + robots-field updates (updateVisit/updateRobots)."""
+        cfg = self.config
+        delay = F.when(F.col("status") == C.ROBOTS_DISALLOWED, F.lit(0)).otherwise(
+            F.least(
+                F.coalesce(F.col("robots_crawl_delay").cast("long") * 1000, F.lit(5000)),
+                F.lit(cfg.max_delay_millis),
+            )
+        )
+        per_origin = (
+            exch.withColumn("__delay", delay)
+            .groupBy("origin_id")
+            .agg(F.sum("__delay").alias("__total_delay"))
+        )
+        base = (
+            wave.select(
+                "origin_id", "origin", F.col("o_discovered").alias("discovered"),
+                "crawl_policy", "robots_crawl_delay", "robots_txt",
+            )
+            .dropDuplicates(["origin_id"])
+            .join(per_origin, "origin_id", "left")
+            .withColumn("last_visit", F.lit(T))
+            .withColumn("next_visit", F.lit(T) + F.coalesce(F.col("__total_delay"), F.lit(0)))
+            .drop("__total_delay")
+        )
+        # processRobots updates (Exchange.java:204-216) — from this wave's
+        # successful ROBOTS fetches
+        succ_robots = exch.filter(
+            (F.col("location_type") == "ROBOTS")
+            & (F.col("status") >= 200)
+            & (F.col("status") <= 299)
+            & F.col("revisit_of_date").isNull()
+        ).select("origin_id", "body")
+        ua = cfg.user_agent
+        mrb = cfg.max_robots_bytes
+
+        @F.pandas_udf("crawl_delay int, robots_txt binary")
+        def robots_fields(bodies: pd.Series) -> pd.DataFrame:
+            rows = []
+            for b in bodies.tolist():
+                raw = bytes(b or b"")[:mrb]
+                r = C.parse_robots(raw, ua)
+                rows.append((r.crawl_delay, raw))
+            return pd.DataFrame(rows, columns=["crawl_delay", "robots_txt"])
+
+        rb = succ_robots.withColumn("__rf", robots_fields(F.col("body"))).select(
+            "origin_id",
+            F.col("__rf.crawl_delay").alias("__new_delay"),
+            F.col("__rf.robots_txt").alias("__new_robots"),
+        )
+        merged = (
+            base.join(rb, "origin_id", "left")
+            .withColumn(
+                "robots_crawl_delay",
+                F.when(F.col("__new_robots").isNotNull(), F.col("__new_delay").cast("short")).otherwise(
+                    F.col("robots_crawl_delay")
+                ),
+            )
+            .withColumn(
+                "robots_txt",
+                F.when(F.col("__new_robots").isNotNull(), F.col("__new_robots")).otherwise(
+                    F.col("robots_txt")
+                ),
+            )
+            .drop("__new_delay", "__new_robots")
+        )
+        self.store.merge("origins", merged, "upsert")
+
+    def _discover_and_enqueue(self, exch: DataFrame, T: int) -> int:
+        """process() + enqueue(): extraction, depth cut, URL-seen anti-join."""
+        cfg = self.config
+        succ = exch.filter(
+            (F.col("status") >= 200) & (F.col("status") <= 299) & F.col("revisit_of_date").isNull()
+        )
+        disc = process_success_rows(succ, cfg.user_agent, cfg.max_robots_bytes).persist()
+
+        # sitemap entries upsert (insertOrReplace, Database.java:340-343)
+        sm = disc.filter(F.col("kind") == "sm_entry").withColumn("u", url_parts(F.col("url")))
+        sm_rows = sm.select(
+            F.col("u.origin_id").alias("origin_id"),
+            F.col("u.path_id").alias("path_id"),
+            F.col("sm_origin_id").alias("sitemap_origin_id"),
+            F.col("sm_path_id").alias("sitemap_path_id"),
+            "changefreq",
+            F.col("priority").cast("float"),
+            "lastmod",
+        ).filter(F.col("origin_id").isNotNull())
+        # last-writer-wins within the wave, deterministic by sitemap identity
+        w_sm = Window.partitionBy("origin_id", "path_id").orderBy(
+            F.col("sitemap_origin_id").asc(), F.col("sitemap_path_id").asc()
+        )
+        sm_rows = sm_rows.withColumn("__rn", F.row_number().over(w_sm)).filter(F.col("__rn") == 1).drop("__rn")
+        if not sm_rows.isEmpty():
+            self.store.merge("sitemap_entries", sm_rows, "upsert")
+
+        # enqueue (Crawl.java:72-80): depth cut FIRST (before any insert)
+        locs = (
+            disc.filter(F.col("kind") == "loc")
+            .withColumn("depth", F.col("via_depth") + 1)
+            .filter(F.col("depth") <= cfg.max_depth)
+            .withColumn("u", url_parts(F.col("url")))
+            .filter(F.col("u.origin_id").isNotNull())
+            .persist()
+        )
+
+        origins_now = self.store.read_staged("origins")
+        # robots-location quirk (Crawl.java:76-78): tryInsert returns
+        # existed-already; the robots.txt location is only enqueued on calls
+        # where the origin row already existed — i.e. origin pre-existed, or
+        # this is the 2nd+ enqueue touching that origin this wave.
+        per_origin_cnt = locs.groupBy(F.col("u.origin_id").alias("origin_id"), F.col("u.origin").alias("origin")).agg(
+            F.count("*").alias("__cnt")
+        )
+        pre_existing = origins_now.select("origin_id").withColumn("__pre", F.lit(True))
+        oc = per_origin_cnt.join(pre_existing, "origin_id", "left")
+
+        new_origins = oc.filter(F.col("__pre").isNull()).select(
+            "origin_id",
+            "origin",
+            F.lit(T).alias("discovered"),
+            F.lit("TRANSCLUSIONS").alias("crawl_policy"),
+            F.lit(None).cast("long").alias("last_visit"),
+            F.lit(T).alias("next_visit"),
+            F.lit(None).cast("short").alias("robots_crawl_delay"),
+            F.lit(None).cast("binary").alias("robots_txt"),
+        )
+        if not new_origins.isEmpty():
+            self.store.merge("origins", new_origins, "insert_if_absent")
+
+        robots_origins = oc.filter(F.col("__pre").isNotNull() | (F.col("__cnt") >= 2))
+
+        from .functions.hashing import hash_str
+
+        robots_locs = robots_origins.select(
+            "origin_id",
+            F.lit(hash_str("/robots.txt")).alias("path_id"),
+            F.lit("/robots.txt").alias("path"),
+            F.lit("ROBOTS").alias("location_type"),
+            F.lit(0).cast("short").alias("depth"),
+            F.lit(None).cast("long").alias("via_origin_id"),
+            F.lit(None).cast("long").alias("via_path_id"),
+            F.lit(T).alias("discovered"),
+            F.lit(None).cast("long").alias("last_visit"),
+            F.lit(T).alias("next_visit"),
+        )
+
+        # within-wave dedupe: deterministic winner per (origin,path)
+        w_loc = Window.partitionBy(F.col("u.origin_id"), F.col("u.path_id")).orderBy(
+            F.when(F.col("loc_type") == "ROBOTS", 3)
+            .when(F.col("loc_type") == "SITEMAP", 2)
+            .when(F.col("loc_type") == "TRANSCLUSION", 1)
+            .otherwise(0)
+            .desc(),
+            F.col("via_origin_id").asc_nulls_last(),
+            F.col("via_path_id").asc_nulls_last(),
+        )
+        frontier_new = (
+            locs.withColumn("__rn", F.row_number().over(w_loc))
+            .filter(F.col("__rn") == 1)
+            .select(
+                F.col("u.origin_id").alias("origin_id"),
+                F.col("u.path_id").alias("path_id"),
+                F.col("u.pathref").alias("path"),
+                F.col("loc_type").alias("location_type"),
+                F.col("depth").cast("short").alias("depth"),
+                "via_origin_id",
+                "via_path_id",
+                F.lit(T).alias("discovered"),
+                F.lit(None).cast("long").alias("last_visit"),
+                F.lit(T).alias("next_visit"),
+            )
+        )
+        all_new = frontier_new.unionByName(robots_locs)
+        n = all_new.count()
+        if n:
+            if cfg.check_collisions:
+                cur = self.store.read_staged("frontier").select("origin_id", "path_id", F.col("path").alias("__p"))
+                bad = all_new.join(cur, ["origin_id", "path_id"], "inner").filter(F.col("path") != F.col("__p"))
+                clash = bad.limit(1).collect()
+                if clash:
+                    raise RuntimeError(f"Hash collision: {clash[0]['path']} vs {clash[0]['__p']}")
+            self.store.merge("frontier", all_new, "insert_if_absent")
+        disc.unpersist()
+        locs.unpersist()
+        return n
+
+    def _append_metrics(self, exch: DataFrame, T: int) -> None:
+        wave_n = self.store.committed_wave + 1
+        m = exch.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+            F.count("*").alias("visits"),
+            F.sum("content_length").alias("bytes"),
+            F.sum(F.when(F.col("status") < 0, 1).otherwise(0)).alias("errors"),
+        )
+        m = m.select(
+            F.lit(wave_n).alias("wave"), F.lit(T).alias("wave_ts"), "partition_id",
+            "visits", "bytes", "errors",
+        )
+        self.store.append("metrics", m, wave_n)
+        lineage = self.spark.createDataFrame(
+            [(wave_n, "visits", "append", 0, None)],
+            self.store.read("lineage").schema,
+        )
+        self.store.append("lineage", lineage, wave_n)

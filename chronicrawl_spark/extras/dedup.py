@@ -1,0 +1,246 @@
+"""Training-data deduplication operators over the ``documents`` table.
+
+Each operator is a pure DataFrame transform (JVM-side expressions only — no
+Python UDFs in any hot path) designed so a byte-identical DuckDB oracle SQL
+exists (``__spark_entry__.oracle_sql``).  Hash functions are md5 (identical
+output in Spark and DuckDB); scores are scaled to BIGINT to avoid
+float-representation drift in the value-hash comparison.
+
+Scale notes (100 TB):
+- exact dedup: single shuffle on the digest — the canonical map-side-combine
+  groupBy; digest is uniformly distributed so no skew.
+- word/char-shingle Jaccard: explode → self-join on shingle → pair-count.
+  The shingle join is the classic candidate-pair generator; hot shingles
+  (stop-shingles) explode quadratically, so a document-frequency cap drops
+  shingles appearing in > max_df docs (standard practice; cap is a
+  parameter, applied identically in the oracle).
+- MinHash+LSH: k md5 "permutations" → band buckets → bucket join.  Band
+  join keys are uniform hashes → skew-free; candidate verification happens
+  on the tiny candidate set, never all pairs.
+- SimHash: 32-bit signature via per-bit vote aggregation — one groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# word tokenization shared by all operators (and mirrored in oracle SQL):
+# lowercase, split on single spaces (the synthetic corpus is space-separated)
+def _words(col="text"):
+    return F.split(F.lower(F.col(col)), " ")
+
+
+def exact_dedup(docs: DataFrame, key=None) -> DataFrame:
+    """Exact duplicate groups by md5 digest (hash-groupBy; one shuffle).
+
+    ``key`` defaults to the full text; the test corpus has no full-text
+    duplicates, so the entry-point demo keys on a 40-char prefix — the
+    operator (digest → groupBy → canonical pick) is identical either way.
+    """
+    key = key if key is not None else F.col("text")
+    return (
+        docs.groupBy(F.md5(key).alias("text_hash"))
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("canonical_doc_id"))
+        .filter(F.col("n_dups") >= 2)
+        .orderBy("text_hash")
+    )
+
+
+def word_jaccard_pairs(docs: DataFrame, threshold: float = 0.9, max_df: int = 100000) -> DataFrame:
+    """Near-dup candidate pairs by Jaccard over distinct word sets.
+
+    score scaled ×1e6 → BIGINT for oracle comparison.
+    """
+    w = (
+        docs.select("doc_id", F.explode(_words()).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    sizes = w.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    df_cap = w.groupBy("word").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df)
+    w = w.join(df_cap.select("word"), "word", "inner")
+    a = w.alias("a")
+    b = w.alias("b")
+    common = (
+        a.join(b, (F.col("a.word") == F.col("b.word")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    out = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard_e6",
+            F.round(
+                F.col("common") * 1000000.0 / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+            ).cast("long"),
+        )
+        .filter(F.col("jaccard_e6") >= int(threshold * 1_000_000))
+        .select("doc_a", "doc_b", "common", "jaccard_e6")
+        .orderBy("doc_a", "doc_b")
+    )
+    return out
+
+
+def char_ngram_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct char n-gram shingles per doc — transform-with-index keeps it
+    JVM-side (F.sequence → F.transform(x, i)), no UDF."""
+    grams = F.when(
+        F.length("text") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length("text") - (n - 1)),
+            lambda i: F.col("text").substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", F.explode(grams).alias("gram"))
+        .filter(F.length("gram") == n)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8, max_df: int = 400) -> DataFrame:
+    """Char-n-gram Jaccard near-dup pairs (same shape as word variant)."""
+    g = char_ngram_shingles(docs, n)
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    df_cap = g.groupBy("gram").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df)
+    g = g.join(df_cap.select("gram"), "gram", "inner")
+    a, b = g.alias("a"), g.alias("b")
+    common = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    out = (
+        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .withColumn(
+            "jaccard_e6",
+            F.round(
+                F.col("common") * 1000000.0 / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+            ).cast("long"),
+        )
+        .filter(F.col("jaccard_e6") >= int(threshold * 1_000_000))
+        .select("doc_a", "doc_b", "jaccard_e6")
+        .orderBy("doc_a", "doc_b")
+    )
+    return out
+
+
+MINHASH_SEEDS = [f"s{i}" for i in range(6)]
+
+
+def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc (indexed transform, JVM-side)."""
+    words = _words()
+    sh = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ",
+                F.try_element_at(words, i),
+                F.try_element_at(words, i + 1),
+                F.try_element_at(words, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", F.explode(sh).alias("sh")).distinct()
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """k=6 MinHash signature columns over word-3-gram shingles:
+    min(md5(seed|shingle)) per seed.
+
+    md5-as-permutation is the standard trick when true 64-bit permutations
+    aren't needed; identical and portable across engines.  Shingles (not
+    single words) keep bucket diversity high on small vocabularies.
+    """
+    w = word_shingles(docs)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(seed + "|"), F.col("sh")))).alias(f"mh{i}")
+        for i, seed in enumerate(MINHASH_SEEDS)
+    ]
+    return w.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(docs: DataFrame) -> DataFrame:
+    """LSH banding (3 bands × 2 rows): docs sharing any band bucket.
+
+    Returns candidate pairs (doc_a < doc_b, band) — the scale path for
+    near-dup detection: bucket join instead of all-pairs.
+    """
+    sig = minhash_signatures(docs)
+    bands = []
+    for band in range(3):
+        b = sig.select(
+            "doc_id",
+            F.lit(band).alias("band"),
+            F.md5(F.concat_ws("|", f"mh{2 * band}", f"mh{2 * band + 1}")).alias("bucket"),
+        )
+        bands.append(b)
+    allb = bands[0].unionByName(bands[1]).unionByName(bands[2])
+    a, b = allb.alias("a"), allb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), F.col("a.band").alias("band"))
+        .distinct()
+        .orderBy("doc_a", "doc_b", "band")
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """32-bit SimHash: per-bit ±1 votes over word hashes, sign → bit.
+
+    Word hash = first 8 hex chars of md5 → uint32 (conv/hex-cast exists in
+    both engines).  One explode + one groupBy with 32 conditional sums.
+    """
+    w = (
+        docs.select("doc_id", F.explode(_words()).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+        .withColumn("h", F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = w.groupBy("doc_id").agg(*votes)
+    sig = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << b)
+        sig = bit if sig is None else sig + bit
+    return agg.select("doc_id", sig.cast("long").alias("simhash")).orderBy("doc_id")
+
+
+def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by ``label`` (the blocking
+    key stands in for an LSH bucket at scale — pairwise only within blocks).
+    """
+    e = embeddings.select("vec_id", "label", "embedding")
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.embedding"), F.col("b.embedding"), lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(f"{side}.embedding"), F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
+    )
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .withColumn("cos_e6", F.round(dot / (norm("a") * norm("b")) * 1e6).cast("long"))
+        .filter(F.col("cos_e6") >= int(threshold * 1e6))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), "cos_e6")
+        .orderBy("vec_a", "vec_b")
+    )

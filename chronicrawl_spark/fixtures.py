@@ -1,0 +1,197 @@
+"""Deterministic fixtures: the reference test-server site + scale generators.
+
+- ``test_server_site``: exact replica of the reference's fixture web server
+  (``TestServer.java:21-56``) as a ``site`` DataFrame — drives the
+  sequential-parity test (CrawlTest's 6 steps + the /no robots denial).
+- ``image_site``: extends the fixture with image leaf pages wired to an
+  ``images`` payload table (BASELINE.json input_hint shape).
+- ``synthetic_frontier``: seeded scale generator mirroring the reference's
+  dummy-data harness (100 origins × 1000 locations, ``Webapp.java:208-224``)
+  with a skew mode for the salted top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .extras.imaging import encode_bmp, make_test_image, phash64
+from .functions.hashing import hash_str
+
+SITE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("status", T.IntegerType(), False),
+        T.StructField("content_type", T.StringType(), True),
+        T.StructField("body", T.BinaryType(), True),
+        T.StructField("etag", T.StringType(), True),
+        T.StructField("last_modified", T.StringType(), True),
+        T.StructField("location", T.StringType(), True),
+    ]
+)
+
+ROBOTS_BODY = b"Sitemap: /sitemap-index.xml\ncrawl-delay: 5\nDisallow: /no\n"
+SITEMAP_INDEX_BODY = (
+    b'<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+    b"<sitemap><loc>/sitemap.xml</loc></sitemap></sitemapindex>"
+)
+SITEMAP_BODY = (
+    b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+    b"<url><loc>/no</loc></url>"
+    b"<url><loc>/page</loc><changefreq>daily</changefreq><priority>0.8</priority></url>"
+    b"</urlset>"
+)
+HOME_BODY = b"<link rel=stylesheet href=style.css><h1>Hello</h1>"
+CSS_BODY = b"body { background: blue; }"
+
+
+def test_server_rows(origin: str = "http://test.example") -> list[tuple]:
+    """The fixture site rows (ref ``TestServer.java:21-56``).  Any other path
+    on the host 404s with body '404 Not found' (handled by the simulator)."""
+    return [
+        (
+            origin + "/robots.txt", 200, "text/plain", ROBOTS_BODY,
+            '"123"', "Wed, 21 Oct 2015 07:28:00 GMT", None,
+        ),
+        (origin + "/sitemap-index.xml", 200, "application/xml", SITEMAP_INDEX_BODY, None, None, None),
+        (origin + "/sitemap.xml", 200, "application/xml", SITEMAP_BODY, None, None, None),
+        (origin + "/", 200, "text/html", HOME_BODY, None, None, None),
+        (origin + "/style.css", 200, "text/css", CSS_BODY, None, None, None),
+    ]
+
+
+def test_server_site(spark: SparkSession, origin: str = "http://test.example") -> DataFrame:
+    return spark.createDataFrame(test_server_rows(origin), SITE_SCHEMA)
+
+
+# ------------------------------------------------------------ image payloads
+
+IMAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("caption", T.StringType(), False),
+        T.StructField("phash", T.LongType(), False),
+    ]
+)
+
+
+def make_images(spark: SparkSession, n: int = 8, w: int = 32, h: int = 24) -> DataFrame:
+    """Deterministic image+caption table (input_hint shape).  Encoded as BMP
+    (lossless, pure-numpy codec — no imaging libs in the sandbox; the
+    jpeg/gif decode path is stubbed, see extras/imaging.py)."""
+    rows = []
+    for i in range(n):
+        px = make_test_image(w, h, seed=i)
+        rows.append(
+            (f"img{i:04d}", encode_bmp(px), w, h, "bmp", f"caption for image {i}", phash64(px))
+        )
+    return spark.createDataFrame(rows, IMAGES_SCHEMA)
+
+
+def image_site(
+    spark: SparkSession, images: DataFrame, origin: str = "http://img.example"
+) -> DataFrame:
+    """Fixture site whose pages embed image leaf URLs wired to ``images``."""
+    img_rows = images.collect()
+    rows = [
+        (
+            origin + "/robots.txt", 200, "text/plain",
+            b"Sitemap: /sitemap.xml\ncrawl-delay: 1\n", None, None, None,
+        ),
+        (
+            origin + "/sitemap.xml", 200, "application/xml",
+            (
+                '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                + "".join(f"<url><loc>/gallery/{i}</loc></url>" for i in range(len(img_rows)))
+                + "</urlset>"
+            ).encode(),
+            None, None, None,
+        ),
+    ]
+    for i, r in enumerate(img_rows):
+        page = f'<html><img src="/img/{r["image_id"]}.{r["fmt"]}"><p>{r["caption"]}</p></html>'
+        rows.append((f"{origin}/gallery/{i}", 200, "text/html", page.encode(), None, None, None))
+        rows.append(
+            (
+                f"{origin}/img/{r['image_id']}.{r['fmt']}", 200, f"image/{r['fmt']}",
+                bytes(r["bytes"]), f'"{r["image_id"]}"', None, None,
+            )
+        )
+    return spark.createDataFrame(rows, SITE_SCHEMA)
+
+
+# ---------------------------------------------------------- scale generators
+
+def synthetic_frontier(
+    spark: SparkSession,
+    n_origins: int,
+    locs_per_origin: int,
+    now: int,
+    skew_frac: float = 0.0,
+    buckets_hint: int | None = None,
+):
+    """Seeded synthetic (origins, frontier) DataFrames at scale.
+
+    URLs are ``http://h{i}.example/p{j}``; ids use the engine's own xxh64
+    identity (computed distributed, in an Arrow UDF — no driver loop).
+    ``skew_frac`` moves that fraction of ALL locations onto host h0
+    (hot-host fixture for the salted top-k, SURVEY §4.1).
+
+    Mirrors the reference's dummy-data harness shape (``Webapp.java:208-224``).
+    """
+    from .functions.udfs import url_parts
+
+    total = n_origins * locs_per_origin
+    base = spark.range(total).withColumn("j", F.col("id"))
+    if skew_frac > 0:
+        hot = int(total * skew_frac)
+        host_i = F.when(F.col("id") < hot, F.lit(0)).otherwise(
+            (F.col("id") % F.lit(n_origins)).cast("long")
+        )
+    else:
+        host_i = (F.col("id") % F.lit(n_origins)).cast("long")
+    urls = base.select(
+        F.concat(
+            F.lit("http://h"), host_i.cast("string"), F.lit(".example/p"), F.col("j").cast("string")
+        ).alias("raw_url")
+    )
+    u = urls.withColumn("u", url_parts(F.col("raw_url")))
+    frontier = u.select(
+        F.col("u.origin_id").alias("origin_id"),
+        F.col("u.path_id").alias("path_id"),
+        F.col("u.pathref").alias("path"),
+        F.lit("PAGE").alias("location_type"),
+        F.lit(0).cast("short").alias("depth"),
+        F.lit(None).cast("long").alias("via_origin_id"),
+        F.lit(None).cast("long").alias("via_path_id"),
+        F.lit(now).alias("discovered"),
+        F.lit(None).cast("long").alias("last_visit"),
+        F.lit(now).alias("next_visit"),
+    )
+    origins = (
+        u.select(F.col("u.origin").alias("origin"), F.col("u.origin_id").alias("origin_id"))
+        .distinct()
+        .select(
+            "origin_id",
+            "origin",
+            F.lit(now).alias("discovered"),
+            F.lit("CONTINUOUS").alias("crawl_policy"),
+            F.lit(None).cast("long").alias("last_visit"),
+            F.lit(now).alias("next_visit"),
+            F.lit(None).cast("short").alias("robots_crawl_delay"),
+            F.lit(None).cast("binary").alias("robots_txt"),
+        )
+    )
+    return origins, frontier
+
+
+def synthetic_site_for_frontier(spark: SparkSession, n_origins: int) -> DataFrame:
+    """A site table where every generated URL 404s fast (scheduler-throughput
+    benches measure queue mechanics, not extraction)."""
+    rows = [(f"http://h{i}.example/", 200, "text/html", b"<h1>h</h1>", None, None, None) for i in range(n_origins)]
+    return spark.createDataFrame(rows, SITE_SCHEMA)

@@ -1,0 +1,342 @@
+"""Versioned crawl-state tables — an Iceberg-MERGE analog on plain parquet.
+
+The reference keeps all state in 12 SQLite tables (``Database.java:55-64``,
+``schema.sql``) with single-writer transactions.  The Spark-native design is
+snapshot-versioned tables with partition-level copy-on-write:
+
+- **Mutable tables** (``origins``, ``frontier``, ``sitemap_entries``) are
+  hash-bucketed by ``origin_id`` (``bucket = pmod(origin_id, B)`` — the
+  xxh64 keyspace is uniform, ref ``Url.java:30-50``, so buckets are even).
+  A wave's MERGE rewrites **only the buckets its delta touches**; untouched
+  buckets keep their prior version files.  This is exactly the shape of an
+  Iceberg copy-on-write ``MERGE INTO`` with ``bucket(N, origin_id)``
+  partitioning, and is what makes a 10^10-row frontier updatable without
+  rewriting a terabyte per wave.
+- **Append-only tables** (``visits``, ``warc_records``, ``metrics``,
+  ``lineage``) append one directory per wave (Iceberg append snapshot).
+- A JSON **manifest** pins, per table, which version each bucket reads and
+  which waves are committed.  ``commit(wave)`` atomically publishes the
+  manifest (tmp + rename) *after* all data writes succeed — a crash
+  mid-wave leaves the previous snapshot intact (orphan files are ignored,
+  vacuum-style cleanup applies).  ``manifest-{wave}.json`` history =
+  snapshot tags; resume = load any committed wave (ref semantics: SQLite
+  WAL crash-safety + "resume = read latest snapshot").
+
+In the sandbox there is no Iceberg runtime jar; on a real cluster this
+module's API maps 1:1 onto Iceberg tables (``MERGE INTO`` / snapshot tags)
+and the engine above it would not change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------- schemas
+# FIXTURES.md §2 / reference schema.sql — epoch-millis int64 timestamps for
+# exact parity (Database.java:70-78); string enums replace tiny dim tables.
+
+ORIGINS_SCHEMA = T.StructType(
+    [
+        T.StructField("origin_id", T.LongType(), False),
+        T.StructField("origin", T.StringType(), False),
+        T.StructField("discovered", T.LongType(), False),
+        T.StructField("crawl_policy", T.StringType(), False),  # FORBIDDEN|TRANSCLUSIONS|CONTINUOUS
+        T.StructField("last_visit", T.LongType(), True),
+        T.StructField("next_visit", T.LongType(), True),  # NULL = parked (Crawl.java:123-126)
+        T.StructField("robots_crawl_delay", T.ShortType(), True),
+        T.StructField("robots_txt", T.BinaryType(), True),
+    ]
+)
+
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("origin_id", T.LongType(), False),
+        T.StructField("path_id", T.LongType(), False),
+        T.StructField("path", T.StringType(), False),  # pathref
+        T.StructField("location_type", T.StringType(), False),  # PAGE|TRANSCLUSION|SITEMAP|ROBOTS
+        T.StructField("depth", T.ShortType(), False),
+        T.StructField("via_origin_id", T.LongType(), True),
+        T.StructField("via_path_id", T.LongType(), True),
+        T.StructField("discovered", T.LongType(), False),
+        T.StructField("last_visit", T.LongType(), True),
+        T.StructField("next_visit", T.LongType(), True),
+    ]
+)
+
+VISITS_SCHEMA = T.StructType(
+    [
+        T.StructField("origin_id", T.LongType(), False),
+        T.StructField("path_id", T.LongType(), False),
+        T.StructField("date", T.LongType(), False),
+        T.StructField("method", T.StringType(), False),
+        T.StructField("status", T.ShortType(), False),
+        T.StructField("content_type", T.StringType(), True),
+        T.StructField("content_length", T.LongType(), True),
+        T.StructField("warc_id", T.BinaryType(), True),
+        T.StructField("request_position", T.LongType(), True),
+        T.StructField("request_length", T.LongType(), True),
+        T.StructField("response_position", T.LongType(), True),
+        T.StructField("response_length", T.LongType(), True),
+        T.StructField("response_payload_digest", T.BinaryType(), True),  # truncated sha1[:8]
+        T.StructField("revisit_of_date", T.LongType(), True),
+    ]
+)
+
+WARC_RECORDS_SCHEMA = T.StructType(
+    [
+        T.StructField("warc_id", T.BinaryType(), False),
+        T.StructField("record_type", T.StringType(), False),  # request|response|revisit
+        T.StructField("url", T.StringType(), False),
+        T.StructField("date", T.LongType(), False),
+        T.StructField("origin_id", T.LongType(), False),
+        T.StructField("path_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("payload_digest", T.BinaryType(), True),  # full sha1 (20 bytes)
+        T.StructField("refers_to_date", T.LongType(), True),  # revisit pointer
+        T.StructField("profile", T.StringType(), True),  # revisit profile
+        # response header capture (the reference re-reads ETag/Last-Modified
+        # from the stored WARC response for conditional GETs,
+        # Exchange.java:104-119)
+        T.StructField("etag", T.StringType(), True),
+        T.StructField("last_modified", T.StringType(), True),
+    ]
+)
+
+SITEMAP_ENTRIES_SCHEMA = T.StructType(
+    [
+        T.StructField("origin_id", T.LongType(), False),
+        T.StructField("path_id", T.LongType(), False),
+        T.StructField("sitemap_origin_id", T.LongType(), False),
+        T.StructField("sitemap_path_id", T.LongType(), False),
+        T.StructField("changefreq", T.StringType(), True),
+        T.StructField("priority", T.FloatType(), True),
+        T.StructField("lastmod", T.StringType(), True),
+    ]
+)
+
+RULES_SCHEMA = T.StructType(
+    [
+        T.StructField("origin_id", T.LongType(), False),
+        T.StructField("pattern", T.StringType(), False),
+        T.StructField("schedule_id", T.LongType(), True),
+    ]
+)
+
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("wave", T.LongType(), False),
+        T.StructField("wave_ts", T.LongType(), False),
+        T.StructField("partition_id", T.IntegerType(), True),
+        T.StructField("visits", T.LongType(), False),
+        T.StructField("bytes", T.LongType(), False),
+        T.StructField("errors", T.LongType(), False),
+    ]
+)
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("wave", T.LongType(), False),
+        T.StructField("table", T.StringType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("rows", T.LongType(), False),
+        T.StructField("buckets_rewritten", T.IntegerType(), True),
+    ]
+)
+
+MUTABLE_TABLES = {
+    "origins": (ORIGINS_SCHEMA, ["origin_id"]),
+    "frontier": (FRONTIER_SCHEMA, ["origin_id", "path_id"]),
+    # keyed on the entry URL only: the reference's insertOrReplace deletes by
+    # (origin_id, path_id) before inserting (Database.java:340-343) — the
+    # last sitemap to mention a URL wins, one row per URL.
+    "sitemap_entries": (SITEMAP_ENTRIES_SCHEMA, ["origin_id", "path_id"]),
+    "rules": (RULES_SCHEMA, ["origin_id", "pattern"]),
+}
+APPEND_TABLES = {
+    "visits": VISITS_SCHEMA,
+    "warc_records": WARC_RECORDS_SCHEMA,
+    "metrics": METRICS_SCHEMA,
+    "lineage": LINEAGE_SCHEMA,
+}
+
+
+class StateStore:
+    """Snapshot-versioned parquet state store (Iceberg-COW analog)."""
+
+    def __init__(self, spark: SparkSession, root: str, buckets: int = 32):
+        self.spark = spark
+        self.root = root
+        self.buckets = buckets
+        os.makedirs(root, exist_ok=True)
+        self.manifest = self._load_manifest()
+        # staged (uncommitted) manifest mutations for the in-flight wave
+        self._staged = json.loads(json.dumps(self.manifest))
+
+    # ------------------------------------------------------------ manifest
+    def _manifest_path(self, wave: int | None = None) -> str:
+        name = "manifest.json" if wave is None else f"manifest-{wave}.json"
+        return os.path.join(self.root, name)
+
+    def _load_manifest(self) -> dict:
+        p = self._manifest_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {
+            "committed_wave": -1,
+            "buckets": self.buckets,
+            "mutable": {t: {} for t in MUTABLE_TABLES},  # bucket(str) -> version(int)
+            "append": {t: [] for t in APPEND_TABLES},  # committed wave ids
+            "next_version": {t: 0 for t in MUTABLE_TABLES},
+        }
+
+    def commit(self, wave: int) -> None:
+        """Atomically publish all staged writes as snapshot ``wave``."""
+        self._staged["committed_wave"] = wave
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._staged, f)
+        shutil.copy(tmp, self._manifest_path(wave))  # snapshot tag
+        os.replace(tmp, self._manifest_path())  # atomic publish
+        self.manifest = json.loads(json.dumps(self._staged))
+
+    def rollback_staged(self) -> None:
+        self._staged = json.loads(json.dumps(self.manifest))
+
+    @property
+    def committed_wave(self) -> int:
+        return self.manifest["committed_wave"]
+
+    def resume_from(self, wave: int) -> None:
+        """Reset the live manifest to snapshot ``wave`` (checkpoint resume)."""
+        with open(self._manifest_path(wave)) as f:
+            m = json.load(f)
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, self._manifest_path())
+        self.manifest = m
+        self._staged = json.loads(json.dumps(m))
+
+    # ------------------------------------------------------------ reads
+    def _empty(self, schema: T.StructType) -> DataFrame:
+        return self.spark.createDataFrame([], schema)
+
+    def read(self, table: str) -> DataFrame:
+        """Current snapshot of a table (committed manifest, not staged)."""
+        return self._read_from(self.manifest, table)
+
+    def read_staged(self, table: str) -> DataFrame:
+        """In-flight view: committed snapshot + this wave's staged writes."""
+        return self._read_from(self._staged, table)
+
+    def _read_from(self, manifest: dict, table: str) -> DataFrame:
+        if table in MUTABLE_TABLES:
+            schema, _ = MUTABLE_TABLES[table]
+            bmap: dict = manifest["mutable"][table]
+            if not bmap:
+                return self._empty(schema)
+            # group buckets by version → one scan per version, pruned to its buckets
+            by_ver: dict[int, list[str]] = {}
+            for b, v in bmap.items():
+                by_ver.setdefault(v, []).append(b)
+            paths = []
+            for v, bs in by_ver.items():
+                for b in bs:
+                    paths.append(os.path.join(self.root, table, f"v{v}", f"bucket={b}"))
+            df = self.spark.read.schema(schema).parquet(*paths)
+            return df
+        schema = APPEND_TABLES[table]
+        waves = manifest["append"][table]
+        if not waves:
+            return self._empty(schema)
+        paths = [os.path.join(self.root, table, f"wave={w}") for w in waves]
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    # ------------------------------------------------------------ writes
+    def _bucket_col(self, df: DataFrame, table: str):
+        return F.pmod(F.col("origin_id"), F.lit(self.buckets)).cast("int")
+
+    def append(self, table: str, df: DataFrame, wave: int) -> None:
+        """Append-only snapshot write (Iceberg append analog)."""
+        schema = APPEND_TABLES[table]
+        out = df.select([F.col(f.name).cast(f.dataType) for f in schema.fields])
+        path = os.path.join(self.root, table, f"wave={wave}")
+        out.write.mode("overwrite").parquet(path)  # idempotent on wave retry
+        staged = self._staged["append"][table]
+        if wave not in staged:
+            staged.append(wave)
+
+    def merge(
+        self,
+        table: str,
+        delta: DataFrame,
+        mode: str = "upsert",
+    ) -> int:
+        """Partition-level copy-on-write MERGE (Iceberg ``MERGE INTO`` analog).
+
+        mode='upsert'      → WHEN MATCHED UPDATE (delta row wins) + INSERT
+        mode='insert_if_absent' → WHEN NOT MATCHED INSERT (existing row wins;
+                              the reference's tryInsert, ``Database.java:186-200``)
+
+        Only buckets present in the delta are rewritten.  Returns the number
+        of buckets rewritten (lineage metric).
+        """
+        schema, keys = MUTABLE_TABLES[table]
+        delta = delta.select([F.col(f.name).cast(f.dataType) for f in schema.fields])
+        delta = delta.withColumn("__bucket", self._bucket_col(delta, table))
+        # the wave delta is small relative to the table — collect touched buckets
+        touched = [r[0] for r in delta.select("__bucket").distinct().collect()]
+        if not touched:
+            return 0
+        bmap: dict = self._staged["mutable"][table]
+        by_ver: dict[int, list[str]] = {}
+        for b in touched:
+            sb = str(b)
+            if sb in bmap:
+                by_ver.setdefault(bmap[sb], []).append(sb)
+        if by_ver:
+            paths = [
+                os.path.join(self.root, table, f"v{v}", f"bucket={b}")
+                for v, bs in by_ver.items()
+                for b in bs
+            ]
+            current = self.spark.read.schema(schema).parquet(*paths)
+        else:
+            current = self._empty(schema)
+
+        if mode == "upsert":
+            kept = current.join(delta.select(keys).distinct(), keys, "left_anti")
+            merged = kept.unionByName(delta.drop("__bucket"))
+        elif mode == "insert_if_absent":
+            new_rows = delta.drop("__bucket").join(
+                current.select(keys).distinct(), keys, "left_anti"
+            )
+            # first-wins within the delta itself (duplicate discoveries in one wave)
+            merged = current.unionByName(new_rows.dropDuplicates(keys))
+        else:
+            raise ValueError(mode)
+
+        version = self._staged["next_version"][table]
+        self._staged["next_version"][table] = version + 1
+        out = merged.withColumn("bucket", F.pmod(F.col("origin_id"), F.lit(self.buckets)).cast("int"))
+        target = os.path.join(self.root, table, f"v{version}")
+        (
+            out.repartition(max(1, min(len(touched), self.spark.sparkContext.defaultParallelism)), "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(target)
+        )
+        for b in touched:
+            bmap[str(b)] = version
+        return len(touched)
+
+    def overwrite(self, table: str, df: DataFrame) -> int:
+        """Full-table rewrite (seeding / small dimension tables)."""
+        return self.merge(table, df, mode="upsert")
