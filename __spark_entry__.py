@@ -22,12 +22,20 @@ import sys
 import tempfile
 from collections.abc import Callable
 
+import pandas as pd  # noqa: F401  (pandas_udf annotation resolution)
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 DAY_MS = 86_400_000
+
+
+def _ms(c):
+    """epoch millis from a (possibly NTZ) timestamp column; session tz is UTC
+    so NTZ-as-UTC matches DuckDB epoch_ms()."""
+    return F.unix_millis(F.col(c) if not isinstance(c, str) else F.col(c).cast("timestamp_ltz"))
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -49,7 +57,7 @@ def q_w2_wave_select(spark, sf_dir):
         (F.col("o_orderkey") % 4).alias("type_id"),
         F.when(F.col("o_totalprice") > 150000, F.round("o_totalprice").cast("long")).alias("priority"),
         (F.col("o_orderkey") % 7).alias("depth"),
-        F.unix_millis("o_orderdate").alias("next_visit"),
+        _ms("o_orderdate").alias("next_visit"),
     )
     w = Window.partitionBy("origin_id").orderBy(
         F.col("type_id").desc(),
@@ -86,7 +94,7 @@ def q_w1_origin_peek(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return (
         o.groupBy(F.col("o_custkey").alias("origin_id"))
-        .agg(F.min(F.unix_millis("o_orderdate")).alias("next_visit"), F.count("*").alias("n_locations"))
+        .agg(F.min(_ms("o_orderdate")).alias("next_visit"), F.count("*").alias("n_locations"))
         .orderBy(F.col("next_visit").asc(), F.col("origin_id").asc())
         .limit(10)
     )
@@ -123,8 +131,8 @@ def q_j6_asof_furthest(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     target = F.unix_millis(F.lit("1996-06-30 00:00:00").cast("timestamp"))
     w = Window.partitionBy("l_orderkey").orderBy(
-        F.abs(F.unix_millis("l_shipdate") - target).desc(),
-        F.unix_millis("l_shipdate").desc(),
+        F.abs(_ms("l_shipdate") - target).desc(),
+        _ms("l_shipdate").desc(),
         F.col("l_linenumber").asc(),
     )
     return (
@@ -133,7 +141,7 @@ def q_j6_asof_furthest(spark, sf_dir):
         .select(
             F.col("l_orderkey").alias("orderkey"),
             F.col("l_linenumber").cast("long").alias("linenumber"),
-            F.unix_millis("l_shipdate").alias("ship_ms"),
+            _ms("l_shipdate").alias("ship_ms"),
         )
         .orderBy("orderkey")
     )
@@ -156,7 +164,7 @@ def q_j7_digest_dedupe(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     d = li.select(
         F.md5(F.concat_ws("|", F.col("l_partkey"), F.col("l_suppkey"))).alias("digest"),
-        F.unix_millis("l_shipdate").alias("ship_ms"),
+        _ms("l_shipdate").alias("ship_ms"),
     )
     return (
         d.groupBy("digest")
@@ -177,7 +185,7 @@ def q_a1_metrics_buckets(spark, sf_dir):
     """A1 (Database.java:435-440): ROUND(date/Δ)*Δ time buckets (ROUND, not
     FLOOR — reference quirk) with count + sum."""
     e = _t(spark, sf_dir, "events")
-    bucket = (F.round(F.unix_millis("ts") / 3600000.0).cast("long") * 3600000).alias("bucket_ms")
+    bucket = (F.round(_ms("ts") / 3600000.0).cast("long") * 3600000).alias("bucket_ms")
     return (
         e.select(bucket, F.round(F.col("value") * 100).cast("long").alias("cents"))
         .groupBy("bucket_ms")
@@ -196,9 +204,9 @@ FROM events GROUP BY 1 ORDER BY 1
 def q_w4_log_pagination(spark, sf_dir):
     """W4 (Database.java:409-433): keyset pagination of the crawl log."""
     e = _t(spark, sf_dir, "events")
-    cutoff = e.agg(F.max(F.unix_millis("ts"))).first()[0]
+    cutoff = e.agg(F.max(_ms("ts"))).first()[0]
     return (
-        e.select("event_id", F.unix_millis("ts").alias("ts_ms"), "event_type", "user_id")
+        e.select("event_id", _ms("ts").alias("ts_ms"), "event_type", "user_id")
         .filter(F.col("ts_ms") < F.lit(cutoff))
         .orderBy(F.col("ts_ms").desc(), F.col("event_id").desc())
         .limit(100)
@@ -272,7 +280,7 @@ def q_w3_visit_history(spark, sf_dir):
     """W3 (Database.java:357-360): per-key newest-N history."""
     li = _t(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_partkey").orderBy(
-        F.unix_millis("l_shipdate").desc(), F.col("l_orderkey").desc(), F.col("l_linenumber").desc()
+        _ms("l_shipdate").desc(), F.col("l_orderkey").desc(), F.col("l_linenumber").desc()
     )
     return (
         li.withColumn("rn", F.row_number().over(w).cast("long"))
@@ -319,7 +327,7 @@ def q_u1_merged_visits(spark, sf_dir):
     b = e.filter(F.col("event_type") == "view")
     return (
         a.unionByName(b)
-        .select("event_id", F.unix_millis("ts").alias("ts_ms"), "event_type")
+        .select("event_id", _ms("ts").alias("ts_ms"), "event_type")
         .orderBy(F.col("ts_ms").desc(), F.col("event_id").desc())
         .limit(50)
     )
@@ -394,9 +402,9 @@ def q_c11_aimd(spark, sf_dir):
     """C11 (Exchange.java:262-277): AIMD revisit — halve/double + clamp,
     including the reference's inverted branch semantics."""
     e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.unix_millis("ts").asc(), F.col("event_id").asc())
+    w = Window.partitionBy("user_id").orderBy(F.col("ts_ms").asc(), F.col("event_id").asc())
     d = e.select(
-        "event_id", "user_id", F.unix_millis("ts").alias("ts_ms"),
+        "event_id", "user_id", _ms("ts").alias("ts_ms"),
         (F.col("event_id") % 2 == 0).alias("revisited"),
     ).withColumn("prev_ms", F.lag("ts_ms").over(w))
     dur = F.col("ts_ms") - F.col("prev_ms")
@@ -668,15 +676,15 @@ def q_text_quality(spark, sf_dir):
 
 
 SQL_TEXT_QUALITY = """
-WITH s AS (SELECT doc_id, text,
+WITH s AS (SELECT doc_id, LENGTH(text) AS tl,
        GREATEST(len(string_split(lower(text),' ')), 1) AS n_words,
        len(list_intersect(list_distinct(string_split(lower(text),' ')),
            ['the','a','of','and','to','value','key','fast','slow','table'])) AS stop_hits,
        LENGTH(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS non_alnum
      FROM documents),
-m AS (SELECT doc_id, n_words, stop_hits, non_alnum,
-       (LENGTH(text) - (n_words - 1)) * 1.0 / n_words AS mean_wlen, LENGTH(text) AS tl
-     FROM s JOIN documents USING (doc_id))
+m AS (SELECT doc_id, n_words, stop_hits, non_alnum, tl,
+       (tl - (n_words - 1)) * 1.0 / n_words AS mean_wlen
+     FROM s)
 SELECT doc_id, CAST(n_words AS INT) AS n_words,
   CAST(ROUND(mean_wlen * 100) AS BIGINT) AS mean_word_len_e2,
   CAST(stop_hits AS INT) AS stopword_hits,

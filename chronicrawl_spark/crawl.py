@@ -78,6 +78,13 @@ class CrawlEngine:
         self.config = config or CrawlConfig()
         self.schedules = {s.id: s for s in BUILTIN_SCHEDULES}
         self.clock: int | None = None  # virtual time (epoch millis)
+        self._rules_empty: bool | None = None  # cached; invalidated by add_rules
+
+    def add_rules(self, rules_df) -> None:
+        """Install rule→schedule bindings (ref ``RuleDAO``)."""
+        self.store.merge("rules", rules_df, "upsert")
+        self.store.commit(self.store.committed_wave + 1)
+        self._rules_empty = None
 
     # ------------------------------------------------------------- seeding
     def add_seeds(self, urls: list[str], now: int) -> None:
@@ -365,9 +372,11 @@ class CrawlEngine:
     def _rule_next_visit(self, exch: DataFrame) -> DataFrame:
         """A4 + C13: longest matching rule pattern → schedule → next fire.
         Returns (origin_id, path_id, nv_schedule)."""
-        rules = self.store.read("rules")
-        if rules.isEmpty():
+        if self._rules_empty is None:
+            self._rules_empty = self.store.read("rules").isEmpty()
+        if self._rules_empty:
             return None
+        rules = self.store.read("rules")
         joined = exch.select("origin_id", "path_id", "path").join(rules, "origin_id", "inner")
 
         @F.pandas_udf(T.BooleanType())
