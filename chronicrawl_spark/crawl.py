@@ -79,6 +79,13 @@ class CrawlEngine:
         self.schedules = {s.id: s for s in BUILTIN_SCHEDULES}
         self.clock: int | None = None  # virtual time (epoch millis)
         self._rules_empty: bool | None = None  # cached; invalidated by add_rules
+        self._lineage: list[tuple] = []  # (table, op, buckets) per wave
+
+    def _merge(self, table: str, delta, mode: str) -> int:
+        """StateStore.merge + lineage accounting."""
+        n = self.store.merge(table, delta, mode)
+        self._lineage.append((table, mode, n))
+        return n
 
     def add_rules(self, rules_df) -> None:
         """Install rule→schedule bindings (ref ``RuleDAO``)."""
@@ -158,7 +165,7 @@ class CrawlEngine:
         parked_rows = parked.withColumn("last_visit", F.lit(T)).withColumn(
             "next_visit", F.lit(None).cast("long")
         )
-        n_parked = store.merge("origins", parked_rows, "upsert") if not parked.isEmpty() else 0
+        n_parked = self._merge("origins", parked_rows, "upsert") if not parked.isEmpty() else 0
 
         if n_wave == 0:
             wave.unpersist()
@@ -457,7 +464,7 @@ class CrawlEngine:
             "origin_id", "path_id", "path", "location_type", "depth",
             "via_origin_id", "via_path_id", "discovered", "last_visit", "next_visit",
         )
-        self.store.merge("frontier", frontier_rows, "upsert")
+        self._merge("frontier", frontier_rows, "upsert")
         return updated.count()
 
     def _update_origins(self, exch: DataFrame, wave: DataFrame, T: int) -> None:
@@ -526,7 +533,7 @@ class CrawlEngine:
             )
             .drop("__new_delay", "__new_robots")
         )
-        self.store.merge("origins", merged, "upsert")
+        self._merge("origins", merged, "upsert")
 
     def _discover_and_enqueue(self, exch: DataFrame, T: int) -> int:
         """process() + enqueue(): extraction, depth cut, URL-seen anti-join."""
@@ -534,6 +541,10 @@ class CrawlEngine:
         succ = exch.filter(
             (F.col("status") >= 200) & (F.col("status") <= 299) & F.col("revisit_of_date").isNull()
         )
+        # cheap early-out on cached exch: scheduler-only waves (no successful
+        # processable fetches) skip the whole discovery machinery
+        if succ.isEmpty():
+            return 0
         disc = process_success_rows(succ, cfg.user_agent, cfg.max_robots_bytes).persist()
 
         # sitemap entries upsert (insertOrReplace, Database.java:340-343)
@@ -553,7 +564,7 @@ class CrawlEngine:
         )
         sm_rows = sm_rows.withColumn("__rn", F.row_number().over(w_sm)).filter(F.col("__rn") == 1).drop("__rn")
         if not sm_rows.isEmpty():
-            self.store.merge("sitemap_entries", sm_rows, "upsert")
+            self._merge("sitemap_entries", sm_rows, "upsert")
 
         # enqueue (Crawl.java:72-80): depth cut FIRST (before any insert)
         locs = (
@@ -587,7 +598,7 @@ class CrawlEngine:
             F.lit(None).cast("binary").alias("robots_txt"),
         )
         if not new_origins.isEmpty():
-            self.store.merge("origins", new_origins, "insert_if_absent")
+            self._merge("origins", new_origins, "insert_if_absent")
 
         robots_origins = oc.filter(F.col("__pre").isNotNull() | (F.col("__cnt") >= 2))
 
@@ -641,7 +652,7 @@ class CrawlEngine:
                 clash = bad.limit(1).collect()
                 if clash:
                     raise RuntimeError(f"Hash collision: {clash[0]['path']} vs {clash[0]['__p']}")
-            self.store.merge("frontier", all_new, "insert_if_absent")
+            self._merge("frontier", all_new, "insert_if_absent")
         disc.unpersist()
         locs.unpersist()
         return n
@@ -658,8 +669,9 @@ class CrawlEngine:
             "visits", "bytes", "errors",
         )
         self.store.append("metrics", m, wave_n)
-        lineage = self.spark.createDataFrame(
-            [(wave_n, "visits", "append", 0, None)],
-            self.store.read("lineage").schema,
-        )
+        rows = [(wave_n, t, op, None, b) for (t, op, b) in self._lineage] or [
+            (wave_n, "visits", "append", None, None)
+        ]
+        self._lineage = []
+        lineage = self.spark.createDataFrame(rows, self.store.read("lineage").schema)
         self.store.append("lineage", lineage, wave_n)

@@ -160,7 +160,9 @@ def synthetic_frontier(
             F.lit("http://h"), host_i.cast("string"), F.lit(".example/p"), F.col("j").cast("string")
         ).alias("raw_url")
     )
-    u = urls.withColumn("u", url_parts(F.col("raw_url")))
+    # persist: origins and frontier both derive from this (and the state-store
+    # merges would otherwise re-run the identity UDF per action)
+    u = urls.withColumn("u", url_parts(F.col("raw_url"))).persist()
     frontier = u.select(
         F.col("u.origin_id").alias("origin_id"),
         F.col("u.path_id").alias("path_id"),

@@ -98,9 +98,9 @@ def split_by_bloom(
     key_expr=None,
 ):
     """(definitely_new, maybe_seen) split of candidate URL rows."""
-    key_expr = key_expr if key_expr is not None else (
-        F.col("origin_id") * F.lit(-7046029254386353131) + F.col("path_id")
-    )
+    # built-in xxhash64 (JVM-side, seed 42) — bloom keys need uniformity,
+    # not reference parity, so the native hash is the right tool here
+    key_expr = key_expr if key_expr is not None else F.xxhash64("origin_id", "path_id")
     probe = contains_udf(spark, bits, n_bits, k)
     tagged = candidates.withColumn("__maybe", probe(key_expr.cast("long")))
     return tagged.filter(~F.col("__maybe")).drop("__maybe"), tagged.filter(

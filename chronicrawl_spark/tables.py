@@ -144,7 +144,7 @@ LINEAGE_SCHEMA = T.StructType(
         T.StructField("wave", T.LongType(), False),
         T.StructField("table", T.StringType(), False),
         T.StructField("op", T.StringType(), False),
-        T.StructField("rows", T.LongType(), False),
+        T.StructField("rows", T.LongType(), True),
         T.StructField("buckets_rewritten", T.IntegerType(), True),
     ]
 )
@@ -291,9 +291,13 @@ class StateStore:
         schema, keys = MUTABLE_TABLES[table]
         delta = delta.select([F.col(f.name).cast(f.dataType) for f in schema.fields])
         delta = delta.withColumn("__bucket", self._bucket_col(delta, table))
+        # evaluated twice (bucket discovery + write) — cache to avoid
+        # recomputing upstream UDF stages
+        delta = delta.persist()
         # the wave delta is small relative to the table — collect touched buckets
         touched = [r[0] for r in delta.select("__bucket").distinct().collect()]
         if not touched:
+            delta.unpersist()
             return 0
         bmap: dict = self._staged["mutable"][table]
         by_ver: dict[int, list[str]] = {}
@@ -333,6 +337,7 @@ class StateStore:
             .partitionBy("bucket")
             .parquet(target)
         )
+        delta.unpersist()
         for b in touched:
             bmap[str(b)] = version
         return len(touched)

@@ -1,0 +1,61 @@
+"""Image payload axis end-to-end THROUGH the crawl engine: robots → sitemap
+→ gallery pages → image transclusions fetched, stored in WARC records, and
+verified per the input_hint invariant (decoded pixels exact for the lossless
+codec, phash match, caption round-trip)."""
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from chronicrawl_spark.crawl import CrawlConfig, CrawlEngine
+from chronicrawl_spark.extras.imaging import decode_image, phash64, psnr
+from chronicrawl_spark.fixtures import image_site, make_images, make_test_image
+from chronicrawl_spark.tables import StateStore
+
+T0 = 1_600_000_000_000
+ORIGIN = "http://img.example"
+
+
+def test_image_crawl_end_to_end(spark, tmp_path):
+    images = make_images(spark, n=4, w=32, h=24)
+    site = image_site(spark, images, ORIGIN)
+    store = StateStore(spark, str(tmp_path / "state"), buckets=4)
+    engine = CrawlEngine(spark, store, site, CrawlConfig())
+    engine.add_seeds([ORIGIN], now=T0)
+    engine.run(max_waves=8, per_host_k=16)
+
+    # every image URL was fetched exactly once with 200
+    visits = store.read("visits")
+    frontier = store.read("frontier").select("origin_id", "path_id", "path", "location_type")
+    v = visits.join(frontier, ["origin_id", "path_id"]).collect()
+    img_visits = [r for r in v if r["path"].startswith("/img/")]
+    assert len(img_visits) == 4
+    assert all(r["status"] == 200 for r in img_visits)
+    assert all(r["content_type"] == "image/bmp" for r in img_visits)
+    # images were discovered as TRANSCLUSIONs from the gallery pages
+    assert all(r["location_type"] == "TRANSCLUSION" for r in img_visits)
+
+    # WARC payload byte-parity + decode invariants vs the images table
+    warc = store.read("warc_records").filter(
+        (F.col("record_type") == "response") & F.col("url").contains("/img/")
+    )
+    img_rows = {r["image_id"]: r for r in images.collect()}
+    for rec in warc.collect():
+        image_id = rec["url"].rsplit("/", 1)[1].split(".")[0]
+        src = img_rows[image_id]
+        payload = bytes(rec["payload"])
+        assert payload == bytes(src["bytes"])  # byte-identical through the pipeline
+        px = decode_image(payload, src["fmt"])
+        assert phash64(px) == src["phash"]
+        ref = make_test_image(src["w"], src["h"], seed=int(image_id[3:]))
+        assert psnr(px, ref) == float("inf")  # lossless: exact pixels
+        assert np.array_equal(px, ref)
+
+    # caption round-trip: the gallery page payload carries the caption text
+    pages = store.read("warc_records").filter(
+        (F.col("record_type") == "response") & F.col("url").contains("/gallery/")
+    )
+    page_bodies = {r["url"]: bytes(r["payload"]).decode() for r in pages.collect()}
+    assert len(page_bodies) == 4
+    for i, (image_id, src) in enumerate(sorted(img_rows.items())):
+        body = page_bodies[f"{ORIGIN}/gallery/{int(image_id[3:])}"]
+        assert src["caption"] in body

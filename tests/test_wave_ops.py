@@ -1,0 +1,74 @@
+"""Wave-selection operator invariants: salted top-k equivalence on skew,
+throughput-mode vs sequential-mode URL-seen equivalence, bloom prefilter."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from chronicrawl_spark.crawl import CrawlConfig, CrawlEngine
+from chronicrawl_spark.fixtures import synthetic_frontier, test_server_site
+from chronicrawl_spark.operators.wave import per_host_top_k
+from chronicrawl_spark.tables import StateStore
+
+T0 = 1_600_000_000_000
+
+
+def test_salted_topk_equals_plain_topk_on_skew(spark):
+    """Two-phase salted top-k must return exactly the single-phase result,
+    including on a hot-host distribution (50% of rows on one host)."""
+    _, frontier = synthetic_frontier(spark, n_origins=20, locs_per_origin=50, now=T0, skew_frac=0.5)
+    due = frontier.withColumn("priority", (F.col("path_id") % 5).cast("float"))
+    for k in (1, 3):
+        plain = per_host_top_k(due, k=k, salt=None)
+        salted = per_host_top_k(due, k=k, salt=8)
+        p = {tuple(r) for r in plain.select("origin_id", "path_id").collect()}
+        s = {tuple(r) for r in salted.select("origin_id", "path_id").collect()}
+        assert p == s, f"k={k}: salted result diverges from plain"
+        # hot host actually is hot in the fixture
+        hot = due.groupBy("origin_id").count().orderBy(F.desc("count")).first()
+        assert hot["count"] >= due.count() * 0.4
+
+
+def test_wave_mode_reaches_same_urlseen_as_sequential(spark, tmp_path):
+    """Throughput mode (all hosts per wave, k>1) must converge to the same
+    final URL-seen set as the reference-parity sequential mode (the fixture
+    graph is confluent; BASELINE.json correctness definition)."""
+    site = test_server_site(spark, "http://test.example")
+
+    def crawl(mode_dir, **kw):
+        store = StateStore(spark, str(tmp_path / mode_dir), buckets=4)
+        eng = CrawlEngine(spark, store, site, CrawlConfig())
+        eng.add_seeds(["http://test.example"], now=T0)
+        eng.run(max_waves=10, **kw)
+        return store
+
+    seq = crawl("seq", k_origins=1, per_host_k=1)
+    wave = crawl("wave", per_host_k=5, salt=4)
+    seq_seen = {(r["origin_id"], r["path_id"]) for r in seq.read("frontier").collect()}
+    wave_seen = {(r["origin_id"], r["path_id"]) for r in wave.read("frontier").collect()}
+    assert seq_seen == wave_seen
+    # and the visit multiset covers the same URLs
+    seq_v = {r["path_id"] for r in seq.read("visits").collect()}
+    wave_v = {r["path_id"] for r in wave.read("visits").collect()}
+    assert seq_v == wave_v
+
+
+def test_bloom_split(spark):
+    from chronicrawl_spark.operators.seen import build_bloom, split_by_bloom
+
+    seen = spark.range(0, 2000).select(
+        (F.col("id") * 7919).alias("origin_id"), (F.col("id") * 104729).alias("path_id")
+    )
+    key = F.xxhash64("origin_id", "path_id")
+    bits = build_bloom(seen.select(key.alias("key")), "key", n_bits=1 << 20, k=5)
+    cands = spark.range(0, 4000).select(
+        (F.col("id") * 7919).alias("origin_id"), (F.col("id") * 104729).alias("path_id")
+    )
+    new, maybe = split_by_bloom(spark, cands, bits, n_bits=1 << 20, k=5)
+    n_new, n_maybe = new.count(), maybe.count()
+    assert n_new + n_maybe == 4000
+    # no false negatives: all 2000 seen keys must land in `maybe`
+    maybe_keys = {(r["origin_id"], r["path_id"]) for r in maybe.collect()}
+    seen_keys = {(r["origin_id"], r["path_id"]) for r in seen.collect()}
+    assert seen_keys <= maybe_keys
+    # FP rate sane: of the 2000 unseen, the vast majority are definite-new
+    assert n_new >= 1900
