@@ -62,6 +62,13 @@ class CrawlConfig:
     max_robots_bytes: int = 512 * 1024  # Config.java:102
     user_agent: str = "Chronicrawl/spark"
     check_collisions: bool = False  # xxh64 collision guard (Database.java:196-198)
+    # B-axis: bloom URL-seen prefilter before the J5 anti-join MERGE.
+    # Definitely-new discoveries skip the exact check entirely; maybe-seen
+    # (incl. false positives) fall through to it — results are identical,
+    # only the J5 shuffle volume changes (SURVEY §4.2).
+    use_bloom: bool = False
+    bloom_bits: int = 1 << 24
+    bloom_k: int = 5
 
 
 class CrawlEngine:
@@ -158,14 +165,21 @@ class CrawlEngine:
         # carry origin.discovered for the full-row origin upsert
         wave = wave.join(origins.select("origin_id", F.col("discovered").alias("o_discovered")), "origin_id", "left")
         wave = wave.persist()
-        n_wave = wave.count()
+        stats = wave.agg(
+            F.count("*").alias("n"), F.countDistinct("origin_id").alias("hosts")
+        ).first()
+        n_wave, n_hosts = stats["n"], stats["hosts"]
+        n_elig = elig.count()
 
-        # park eligible origins with no due locations (Crawl.java:123-126)
-        parked = elig.join(wave.select("origin_id").distinct(), "origin_id", "left_anti")
-        parked_rows = parked.withColumn("last_visit", F.lit(T)).withColumn(
-            "next_visit", F.lit(None).cast("long")
-        )
-        n_parked = self._merge("origins", parked_rows, "upsert") if not parked.isEmpty() else 0
+        # park eligible origins with no due locations (Crawl.java:123-126);
+        # skipped entirely when every eligible host produced wave rows
+        n_parked = 0
+        if n_hosts < n_elig:
+            parked = elig.join(wave.select("origin_id").distinct(), "origin_id", "left_anti")
+            parked_rows = parked.withColumn("last_visit", F.lit(T)).withColumn(
+                "next_visit", F.lit(None).cast("long")
+            )
+            n_parked = self._merge("origins", parked_rows, "upsert")
 
         if n_wave == 0:
             wave.unpersist()
@@ -177,7 +191,8 @@ class CrawlEngine:
         exch = exch.persist()
 
         self._append_visits_and_warc(exch, T)
-        n_fetched = self._update_frontier_visit_data(exch, T)
+        self._update_frontier_visit_data(exch, T)
+        n_fetched = n_wave  # one visit row per wave row by construction
         self._update_origins(exch, wave, T)
         n_disc = self._discover_and_enqueue(exch, T)
         self._append_metrics(exch, T)
@@ -465,7 +480,7 @@ class CrawlEngine:
             "via_origin_id", "via_path_id", "discovered", "last_visit", "next_visit",
         )
         self._merge("frontier", frontier_rows, "upsert")
-        return updated.count()
+        return None
 
     def _update_origins(self, exch: DataFrame, wave: DataFrame, T: int) -> None:
         """C12 politeness + robots-field updates (updateVisit/updateRobots)."""
@@ -644,6 +659,24 @@ class CrawlEngine:
             )
         )
         all_new = frontier_new.unionByName(robots_locs)
+        if cfg.use_bloom:
+            from .operators.seen import build_bloom, split_by_bloom
+
+            cur = self.store.read_staged("frontier")
+            bits = build_bloom(
+                cur.select(F.xxhash64("origin_id", "path_id").alias("key")),
+                "key",
+                cfg.bloom_bits,
+                cfg.bloom_k,
+            )
+            definite_new, maybe_seen = split_by_bloom(
+                self.spark, all_new, bits, cfg.bloom_bits, cfg.bloom_k
+            )
+            # exact check only for the (small) maybe-seen set; FPs drop out here
+            verified_new = maybe_seen.join(
+                cur.select("origin_id", "path_id"), ["origin_id", "path_id"], "left_anti"
+            )
+            all_new = definite_new.unionByName(verified_new)
         n = all_new.count()
         if n:
             if cfg.check_collisions:

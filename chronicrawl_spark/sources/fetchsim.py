@@ -118,21 +118,29 @@ def simulate_fetch(
         )
         prev = prev.join(resp, ["origin_id", "path_id", "prev_date"], "left")
         out = out.join(prev, ["origin_id", "path_id"], "left")
-        not_modified = (F.col("status") == 200) & (
-            (F.col("__p_etag").isNotNull() & (F.col("__p_etag") == F.col("etag")))
-            | (
-                F.col("__p_etag").isNull()
-                & F.col("__p_lm").isNotNull()
-                & (F.col("__p_lm") == F.col("last_modified"))
-            )
+        # materialize the predicate FIRST: the updates below rewrite the very
+        # columns it reads (status), so inlining it would evaluate against
+        # the already-mutated column in later withColumns
+        out = out.withColumn(
+            "__nm",
+            (F.col("status") == 200)
+            & (
+                (F.col("__p_etag").isNotNull() & (F.col("__p_etag") == F.col("etag")))
+                | (
+                    F.col("__p_etag").isNull()
+                    & F.col("__p_lm").isNotNull()
+                    & (F.col("__p_lm") == F.col("last_modified"))
+                )
+            ),
         )
+        nm = F.coalesce(F.col("__nm"), F.lit(False))
         out = (
-            out.withColumn("status", F.when(not_modified, F.lit(304)).otherwise(F.col("status")))
-            .withColumn("body", F.when(not_modified, F.lit(b"")).otherwise(F.col("body")))
+            out.withColumn("status", F.when(nm, F.lit(304)).otherwise(F.col("status")))
+            .withColumn("body", F.when(nm, F.lit(b"")).otherwise(F.col("body")))
             .withColumn(
-                "prev_date", F.when(not_modified, F.col("prev_date")).otherwise(F.lit(None))
+                "prev_date", F.when(nm, F.col("prev_date")).otherwise(F.lit(None).cast("long"))
             )
-            .drop("__p_etag", "__p_lm")
+            .drop("__p_etag", "__p_lm", "__nm")
         )
     else:
         out = out.withColumn("prev_date", F.lit(None).cast("long"))

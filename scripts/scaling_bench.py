@@ -28,9 +28,13 @@ from chronicrawl_spark.tables import StateStore
 
 cpus = int(sys.argv[1])
 n_origins, locs, waves, k = %(n_origins)d, %(locs)d, %(waves)d, %(k)d
-spark = get_spark("scaling-bench", cpus=cpus)
+# tmpfs for state + shuffle: a cluster's storage bandwidth scales with
+# executors; the sandbox's single disk does not — tmpfs removes that
+# local-mode artifact so the measurement reflects compute/shuffle scaling
+spark = get_spark("scaling-bench", cpus=cpus,
+                  extra_conf={"spark.local.dir": "/dev/shm/spark-local-%d" % cpus})
 now = 1_600_000_000_000
-tmp = tempfile.mkdtemp(prefix="scalebench_")
+tmp = tempfile.mkdtemp(prefix="scalebench_", dir="/dev/shm")
 store = StateStore(spark, os.path.join(tmp, "state"), buckets=32)
 origins, frontier = synthetic_frontier(spark, n_origins, locs, now)
 store.merge("origins", origins, "upsert")

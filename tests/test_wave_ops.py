@@ -5,7 +5,8 @@ import pyspark.sql.functions as F
 import pytest
 
 from chronicrawl_spark.crawl import CrawlConfig, CrawlEngine
-from chronicrawl_spark.fixtures import synthetic_frontier, test_server_site
+from chronicrawl_spark.fixtures import synthetic_frontier
+from chronicrawl_spark.fixtures import test_server_site as make_site
 from chronicrawl_spark.operators.wave import per_host_top_k
 from chronicrawl_spark.tables import StateStore
 
@@ -32,7 +33,7 @@ def test_wave_mode_reaches_same_urlseen_as_sequential(spark, tmp_path):
     """Throughput mode (all hosts per wave, k>1) must converge to the same
     final URL-seen set as the reference-parity sequential mode (the fixture
     graph is confluent; BASELINE.json correctness definition)."""
-    site = test_server_site(spark, "http://test.example")
+    site = make_site(spark, "http://test.example")
 
     def crawl(mode_dir, **kw):
         store = StateStore(spark, str(tmp_path / mode_dir), buckets=4)
@@ -72,3 +73,27 @@ def test_bloom_split(spark):
     assert seen_keys <= maybe_keys
     # FP rate sane: of the 2000 unseen, the vast majority are definite-new
     assert n_new >= 1900
+
+
+def test_bloom_enabled_crawl_identical(spark, tmp_path):
+    """use_bloom=True must leave crawl results bit-identical (FPs fall
+    through to the exact anti-join)."""
+    site = make_site(spark, "http://test.example")
+
+    def crawl(mode_dir, **cfg):
+        store = StateStore(spark, str(tmp_path / mode_dir), buckets=4)
+        eng = CrawlEngine(spark, store, site, CrawlConfig(**cfg))
+        eng.add_seeds(["http://test.example"], now=T0)
+        eng.run(max_waves=9, k_origins=1, per_host_k=1)
+        return store
+
+    plain = crawl("plain")
+    bloomed = crawl("bloomed", use_bloom=True, bloom_bits=1 << 16)
+    a = sorted((r["origin_id"], r["path_id"], r["date"], r["status"])
+               for r in plain.read("visits").collect())
+    b = sorted((r["origin_id"], r["path_id"], r["date"], r["status"])
+               for r in bloomed.read("visits").collect())
+    assert a == b
+    fa = sorted((r["origin_id"], r["path_id"], r["next_visit"]) for r in plain.read("frontier").collect())
+    fb = sorted((r["origin_id"], r["path_id"], r["next_visit"]) for r in bloomed.read("frontier").collect())
+    assert fa == fb
