@@ -115,7 +115,7 @@ def q_j5_urlseen_antijoin(spark, sf_dir):
     seen = li.filter(F.col("l_shipdate") < "1997-01-01").select(
         F.col("l_partkey").alias("partkey")
     ).distinct()
-    return discovered.join(seen, "partkey", "left_anti").orderBy("partkey")
+    return discovered.join(seen, "partkey", "left_anti")
 
 
 SQL_J5 = """
@@ -143,7 +143,7 @@ def q_j6_asof_furthest(spark, sf_dir):
             F.col("l_linenumber").cast("long").alias("linenumber"),
             _ms("l_shipdate").alias("ship_ms"),
         )
-        .orderBy("orderkey")
+        
     )
 
 
@@ -170,7 +170,7 @@ def q_j7_digest_dedupe(spark, sf_dir):
         d.groupBy("digest")
         .agg(F.count("*").alias("n"), F.min("ship_ms").alias("first_ms"))
         .filter(F.col("n") >= 2)
-        .orderBy("digest")
+        
     )
 
 
@@ -190,7 +190,7 @@ def q_a1_metrics_buckets(spark, sf_dir):
         e.select(bucket, F.round(F.col("value") * 100).cast("long").alias("cents"))
         .groupBy("bucket_ms")
         .agg(F.count("*").alias("visits"), F.sum("cents").alias("total_cents"))
-        .orderBy("bucket_ms")
+        
     )
 
 
@@ -237,7 +237,7 @@ def q_j3_cdx_star(spark, sf_dir):
             F.count("*").alias("visits"),
             F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents"),
         )
-        .orderBy("nation")
+        
     )
 
 
@@ -264,7 +264,7 @@ def q_a4_longest_rule(spark, sf_dir):
             F.col("p_type").alias("longest_type"),
             F.length("p_type").cast("long").alias("pattern_len"),
         )
-        .orderBy("brand")
+        
     )
 
 
@@ -310,7 +310,7 @@ def q_a3_retention_expiry(spark, sf_dir):
         e.groupBy("user_id")
         .agg(F.count("*").alias("n_total"))
         .withColumn("n_expired", F.greatest(F.col("n_total") - 5, F.lit(0)))
-        .orderBy("user_id")
+        
     )
 
 
@@ -350,7 +350,7 @@ def q_c12_politeness(spark, sf_dir):
     delay = F.when(F.col("s_suppkey") % 13 == 0, F.lit(0)).otherwise(
         F.least(F.coalesce(crawl_delay * 1000, F.lit(5000)), F.lit(30))
     )
-    return s.select(F.col("s_suppkey").alias("suppkey"), delay.alias("delay_ms")).orderBy("suppkey")
+    return s.select(F.col("s_suppkey").alias("suppkey"), delay.alias("delay_ms"))
 
 
 SQL_C12 = """
@@ -381,7 +381,7 @@ def q_c10_changefreq(spark, sf_dir):
     return (
         o.select(F.col("o_orderkey").alias("orderkey"), cf.alias("changefreq"))
         .withColumn("revisit_days", days.cast("long"))
-        .orderBy("orderkey")
+        
     )
 
 
@@ -413,7 +413,7 @@ def q_c11_aimd(spark, sf_dir):
     return (
         d.filter(F.col("prev_ms").isNotNull())
         .select("event_id", "user_id", (F.col("ts_ms") + clamped).alias("next_visit_ms"))
-        .orderBy("event_id")
+        
     )
 
 
@@ -440,7 +440,7 @@ def q_w5_rule_scan(spark, sf_dir):
             F.col("p_type").alias("ptype"),
             (F.length("p_type").cast("long") * DAY_MS).alias("next_visit_ms"),
         )
-        .orderBy("partkey")
+        
     )
 
 
@@ -462,7 +462,7 @@ def q_f9_pushdown_scan(spark, sf_dir):
             F.count("*").alias("n"),
             F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents"),
         )
-        .orderBy("l_returnflag")
+        
     )
 
 
@@ -747,7 +747,7 @@ def q_crawl_fixture_trace(spark, sf_dir):
     return (
         visits.join(frontier, ["origin_id", "path_id"])
         .select("date", "path", F.col("status").cast("int").alias("status"), "content_type")
-        .orderBy("date")
+        
     )
 
 
@@ -788,7 +788,7 @@ def q_image_decode_verify(spark, sf_dir):
                 )
             yield pd.DataFrame(out, columns=["image_id", "phash_match", "psnr_ok", "caption"])
 
-    return imgs.mapInPandas(verify, schema).orderBy("image_id")
+    return imgs.mapInPandas(verify, schema)
 
 
 def q_schedule_next_fire(spark, sf_dir):
@@ -808,7 +808,7 @@ def q_schedule_next_fire(spark, sf_dir):
     def nxt(ids: pd.Series) -> pd.Series:
         return pd.Series(batch_apply(sched, ids.tolist(), [t0] * len(ids)), dtype="object")
 
-    return df.withColumn("next_fire_ms", nxt(F.col("id"))).orderBy("id")
+    return df.withColumn("next_fire_ms", nxt(F.col("id")))
 
 
 def q_bloom_urlseen(spark, sf_dir):

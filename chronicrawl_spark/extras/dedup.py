@@ -43,7 +43,7 @@ def exact_dedup(docs: DataFrame, key=None) -> DataFrame:
         docs.groupBy(F.md5(key).alias("text_hash"))
         .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("canonical_doc_id"))
         .filter(F.col("n_dups") >= 2)
-        .orderBy("text_hash")
+
     )
 
 
@@ -80,7 +80,7 @@ def word_jaccard_pairs(docs: DataFrame, threshold: float = 0.9, max_df: int = 10
         )
         .filter(F.col("jaccard_e6") >= int(threshold * 1_000_000))
         .select("doc_a", "doc_b", "common", "jaccard_e6")
-        .orderBy("doc_a", "doc_b")
+
     )
     return out
 
@@ -125,7 +125,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8, max
         )
         .filter(F.col("jaccard_e6") >= int(threshold * 1_000_000))
         .select("doc_a", "doc_b", "jaccard_e6")
-        .orderBy("doc_a", "doc_b")
+
     )
     return out
 
@@ -193,7 +193,7 @@ def minhash_lsh_candidates(docs: DataFrame) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), F.col("a.band").alias("band"))
         .distinct()
-        .orderBy("doc_a", "doc_b", "band")
+
     )
 
 
@@ -220,7 +220,7 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     for b in range(bits):
         bit = F.when(F.col(f"v{b}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << b)
         sig = bit if sig is None else sig + bit
-    return agg.select("doc_id", sig.cast("long").alias("simhash")).orderBy("doc_id")
+    return agg.select("doc_id", sig.cast("long").alias("simhash"))
 
 
 def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
@@ -242,5 +242,5 @@ def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> DataF
         .withColumn("cos_e6", F.round(dot / (norm("a") * norm("b")) * 1e6).cast("long"))
         .filter(F.col("cos_e6") >= int(threshold * 1e6))
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), "cos_e6")
-        .orderBy("vec_a", "vec_b")
+
     )

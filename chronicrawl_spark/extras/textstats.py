@@ -49,7 +49,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
         F.col("lang").alias("actual_lang"),
         pred.alias("pred_lang"),
         best.alias("marker_hits"),
-    ).orderBy("doc_id")
+    )
 
 
 def quality_score(docs: DataFrame) -> DataFrame:
@@ -73,7 +73,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
         F.round(mean_wlen * 100).cast("long").alias("mean_word_len_e2"),
         stop_hits.alias("stopword_hits"),
         F.round(score * 100).cast("long").alias("quality_e2"),
-    ).orderBy("doc_id")
+    )
 
 
 def token_count(docs: DataFrame) -> DataFrame:
@@ -84,7 +84,7 @@ def token_count(docs: DataFrame) -> DataFrame:
         F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_ISH_TOKEN_RE), 0)).alias(
             "bpe_ish_tokens"
         ),
-    ).orderBy("doc_id")
+    )
 
 
 def fingerprint(docs: DataFrame, shingle: int = 3) -> DataFrame:
@@ -111,4 +111,4 @@ def fingerprint(docs: DataFrame, shingle: int = 3) -> DataFrame:
         "doc_id",
         F.array_min(shingles).alias("fp_min"),
         F.array_max(shingles).alias("fp_max"),
-    ).orderBy("doc_id")
+    )

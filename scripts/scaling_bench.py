@@ -32,7 +32,7 @@ n_origins, locs, waves, k = %(n_origins)d, %(locs)d, %(waves)d, %(k)d
 # executors; the sandbox's single disk does not — tmpfs removes that
 # local-mode artifact so the measurement reflects compute/shuffle scaling
 spark = get_spark("scaling-bench", cpus=cpus,
-                  extra_conf={"spark.local.dir": "/dev/shm/spark-local-%d" % cpus})
+                  extra_conf={"spark.local.dir": "/dev/shm/spark-local-" + str(cpus)})
 now = 1_600_000_000_000
 tmp = tempfile.mkdtemp(prefix="scalebench_", dir="/dev/shm")
 store = StateStore(spark, os.path.join(tmp, "state"), buckets=32)
