@@ -473,6 +473,42 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+
+
+def q_cdx_parse(spark, sf_dir):
+    """S9 (ExternalArchive.java:28-61): 11-field CDX line parse — the 5
+    reference fixture lines (TestServer.java:24-30) verbatim."""
+    from chronicrawl_spark.sources.cdx import parse_cdx_lines
+    from tests.test_cdx import CDX_LINES  # the verbatim fixture lines
+
+    df = spark.createDataFrame([(l,) for l in CDX_LINES], ["value"])
+    return parse_cdx_lines(df).select(
+        "urlkey", "date", "url", "content_type", "status", "digest_b32",
+        "redirect", "length", "offset", "filename",
+    )
+
+
+def _sql_cdx_parse():
+    from tests.test_cdx import CDX_LINES
+
+    values = ",\n  ".join("('" + l.replace("'", "''") + "')" for l in CDX_LINES)
+    return f"""
+WITH lines(value) AS (VALUES\n  {values}),
+p AS (SELECT string_split(value, ' ') AS f FROM lines)
+SELECT f[1] AS urlkey,
+       epoch_ms(strptime(f[2], '%Y%m%d%H%M%S')) AS date,
+       f[3] AS url,
+       CASE WHEN f[4] <> '-' THEN f[4] END AS content_type,
+       CAST(f[5] AS SMALLINT) AS status,
+       CASE WHEN f[6] <> '-' THEN f[6] END AS digest_b32,
+       CASE WHEN f[7] <> '-' THEN f[7] END AS redirect,
+       CAST(f[9] AS BIGINT) AS length,
+       CASE WHEN f[10] <> '-' THEN CAST(f[10] AS BIGINT) END AS "offset",
+       f[11] AS filename
+FROM p
+"""
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline operators (documents / embeddings)
 # --------------------------------------------------------------------------
@@ -851,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c11_aimd": q_c11_aimd,
         "w5_rule_scan": q_w5_rule_scan,
         "f9_pushdown_scan": q_f9_pushdown_scan,
+        "cdx_parse": q_cdx_parse,
         # training-data pipeline operators — oracle-verified
         "dedup_exact": q_dedup_exact,
         "dedup_word_jaccard": q_dedup_word_jaccard,
@@ -891,6 +928,7 @@ def oracle_sql() -> dict[str, str]:
         "c11_aimd": SQL_C11,
         "w5_rule_scan": SQL_W5,
         "f9_pushdown_scan": SQL_F9,
+        "cdx_parse": _sql_cdx_parse(),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_word_jaccard": SQL_DEDUP_WORD_JACCARD,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,

@@ -163,7 +163,7 @@ class CrawlEngine:
         se = store.read("sitemap_entries")
         wave = select_wave(frontier, elig.withColumn("discovered", F.col("discovered")), se, T, k=per_host_k, salt=salt)
         # carry origin.discovered for the full-row origin upsert
-        wave = wave.join(origins.select("origin_id", F.col("discovered").alias("o_discovered")), "origin_id", "left")
+        wave = wave.join(F.broadcast(origins.select("origin_id", F.col("discovered").alias("o_discovered"))), "origin_id", "left")
         wave = wave.persist()
         stats = wave.agg(
             F.count("*").alias("n"), F.countDistinct("origin_id").alias("hosts")

@@ -113,6 +113,7 @@ def select_wave(
     # J2 carries priority (queue ordering) and changefreq (C11 revisit cascade
     # reads it for the fetched location — Database.java:345-346)
     se = sitemap_entries.select("origin_id", "path_id", "priority", "changefreq")
-    due = due.join(se, ["origin_id", "path_id"], "left")
+    # sitemap-entry hints are tiny relative to the frontier — broadcast
+    due = due.join(F.broadcast(se), ["origin_id", "path_id"], "left")
     wave = per_host_top_k(due, k=k, salt=salt)
     return wave.withColumn("url", F.concat(F.col("origin"), F.col("path")))

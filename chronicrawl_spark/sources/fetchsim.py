@@ -75,7 +75,9 @@ def simulate_fetch(
         .distinct()
         .withColumn("__host_known", F.lit(True))
     )
-    out = wave.join(s, wave["url"] == s["__site_url"], "left").drop("__site_url")
+    # the fixture site is a small table (the real web is a socket, not a
+    # join) — broadcast it so the wave never shuffles for the fetch
+    out = wave.join(F.broadcast(s), wave["url"] == s["__site_url"], "left").drop("__site_url")
     out = out.join(F.broadcast(hosts), "origin", "left")
     # unknown URL on a known host → live-server 404; unknown host → DNS fail
     out = (
