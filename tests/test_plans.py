@@ -1,0 +1,79 @@
+"""Plan-regression tests: the physical plans that make these operators
+viable at 100 TB must not silently degrade.
+
+- filters reach the parquet scan (PushedFilters)
+- scans read only the projected columns (ReadSchema pruning)
+- dimension joins stay broadcast; no sort-merge creep
+- the W2 window costs exactly one shuffle
+"""
+
+import __spark_entry__ as em
+from chronicrawl_spark.plans.inspect import (
+    count_broadcast_joins,
+    count_exchanges,
+    count_sortmerge_joins,
+    formatted_plan,
+    pushed_filters,
+    scan_columns,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_f9_pushdown_and_pruning(spark):
+    plan = formatted_plan(em.queries()["f9_pushdown_scan"](spark, SF))
+    pf = " ".join(pushed_filters(plan))
+    assert "GreaterThanOrEqual(l_shipdate" in pf and "LessThan(l_shipdate" in pf
+    [cols] = scan_columns(plan)
+    assert cols == {"l_extendedprice", "l_returnflag", "l_shipdate"}  # 3 of 11 columns
+
+
+def test_w2_single_shuffle(spark):
+    plan = formatted_plan(em.queries()["w2_wave_select"](spark, SF))
+    # one hash-partition exchange for the window — nothing else
+    assert count_exchanges(plan) == 1
+    [cols] = scan_columns(plan)
+    assert cols == {"o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"}
+
+
+def test_j3_star_join_all_broadcast(spark):
+    plan = formatted_plan(em.queries()["j3_cdx_star"](spark, SF))
+    assert count_broadcast_joins(plan) == 4  # customer, nation, region, orders
+    assert count_sortmerge_joins(plan) == 0
+    # fact scan reads exactly the join key + measure
+    assert {"l_orderkey", "l_extendedprice"} in scan_columns(plan)
+
+
+def test_j5_antijoin_broadcast(spark):
+    plan = formatted_plan(em.queries()["j5_urlseen_antijoin"](spark, SF))
+    assert "LeftAnti" in plan
+    assert count_sortmerge_joins(plan) == 0
+    pf = " ".join(pushed_filters(plan))
+    assert "l_shipdate" in pf
+
+
+def test_wave_selection_plan(spark, tmp_path):
+    """The engine's own W2 path: due-filter must reach the frontier scan and
+    the origin/sitemap joins must be broadcast."""
+    from chronicrawl_spark.fixtures import synthetic_frontier
+    from chronicrawl_spark.operators.wave import select_wave
+    from chronicrawl_spark.tables import StateStore
+
+    store = StateStore(spark, str(tmp_path / "s"), buckets=8)
+    origins, frontier = synthetic_frontier(spark, 50, 40, 1_600_000_000_000)
+    store.merge("origins", origins, "upsert")
+    store.merge("frontier", frontier, "upsert")
+    store.commit(0)
+    wave = select_wave(
+        store.read("frontier"),
+        store.read("origins"),
+        store.read("sitemap_entries"),
+        wave_ts=1_600_000_000_000,
+        k=2,
+    )
+    plan = formatted_plan(wave)
+    pf = " ".join(pushed_filters(plan))
+    assert "LessThanOrEqual(next_visit" in pf  # F2 reaches the frontier scan
+    assert count_broadcast_joins(plan) >= 2  # origins + sitemap_entries
+    assert count_sortmerge_joins(plan) == 0
+    assert count_exchanges(plan) == 1  # the W2 window hash partition only
