@@ -164,7 +164,11 @@ class CrawlEngine:
         wave = select_wave(frontier, elig.withColumn("discovered", F.col("discovered")), se, T, k=per_host_k, salt=salt)
         # carry origin.discovered for the full-row origin upsert
         wave = wave.join(F.broadcast(origins.select("origin_id", F.col("discovered").alias("o_discovered"))), "origin_id", "left")
-        wave = wave.persist()
+        # localCheckpoint (not persist): truncates the logical plan so the
+        # dozen downstream actions this wave plan against a tiny LogicalRDD
+        # instead of re-optimizing the full read→join→window tree each time
+        # (driver planning was the dominant serial cost per wave)
+        wave = wave.localCheckpoint(eager=True)
         stats = wave.agg(
             F.count("*").alias("n"), F.countDistinct("origin_id").alias("hosts")
         ).first()
@@ -182,13 +186,12 @@ class CrawlEngine:
             n_parked = self._merge("origins", parked_rows, "upsert")
 
         if n_wave == 0:
-            wave.unpersist()
             w = store.committed_wave + 1
             store.commit(w)
             return {"wave": w, "ts": T, "fetched": 0, "parked": n_parked}
 
         exch = self._exchange(wave, T)
-        exch = exch.persist()
+        exch = exch.localCheckpoint(eager=True)
 
         self._append_visits_and_warc(exch, T)
         self._update_frontier_visit_data(exch, T)
@@ -199,8 +202,10 @@ class CrawlEngine:
 
         w = store.committed_wave + 1
         store.commit(w)
-        wave.unpersist()
+        # free the checkpoint blocks — they otherwise accumulate in the
+        # block manager across waves and GC-stall the whole JVM
         exch.unpersist()
+        wave.unpersist()
         return {"wave": w, "ts": T, "fetched": n_fetched, "parked": n_parked, "discovered": n_disc}
 
     def run(self, max_waves: int, **kw) -> list[dict]:
@@ -235,10 +240,17 @@ class CrawlEngine:
                 out.append(r.is_allowed(u))
             return pd.Series(out)
 
+        # Python only where a robots.txt actually exists: rows with no stored
+        # robots are allowed by definition (crawler-commons parses null as
+        # allow-all) and must not pay the Arrow round-trip.  The split keeps
+        # the hot path JVM-only when most hosts have no robots yet.
+        no_robots = wave.filter(F.col("robots_txt").isNull()).withColumn("allowed", F.lit(True))
+        with_robots = wave.filter(F.col("robots_txt").isNotNull())
         allowed = is_allowed(F.col("robots_txt"), F.col("url"))
         if cfg.robots_policy == "PAGES_ONLY":
             allowed = (F.col("location_type") != "PAGE") | allowed
-        return wave.withColumn("allowed", allowed)
+        gated = with_robots.withColumn("allowed", allowed)
+        return no_robots.unionByName(gated)
 
     def _exchange(self, wave: DataFrame, T: int) -> DataFrame:
         """Robots gate → fetch → digest → dedupe; one row per exchange."""
