@@ -191,7 +191,11 @@ class CrawlEngine:
             return {"wave": w, "ts": T, "fetched": 0, "parked": n_parked}
 
         exch = self._exchange(wave, T)
-        exch = exch.localCheckpoint(eager=True)
+        # the robots-gate and fetch/denied unions CONCATENATE partitions
+        # (32 → 128 through two unions) — coalesce back to the session
+        # parallelism before checkpointing or every downstream write runs
+        # 4× tiny tasks / output files
+        exch = exch.coalesce(self.spark.sparkContext.defaultParallelism).localCheckpoint(eager=True)
 
         self._append_visits_and_warc(exch, T)
         self._update_frontier_visit_data(exch, T)
@@ -720,3 +724,62 @@ class CrawlEngine:
         self._lineage = []
         lineage = self.spark.createDataFrame(rows, self.store.read("lineage").schema)
         self.store.append("lineage", lineage, wave_n)
+
+    # ---------------------------------------------------------- maintenance
+    def reapply_rules_to_origin(self, origin_id: int) -> int:
+        """W5 — ``Rule.reapplyRulesToOrigin`` (``Rule.java:48-67``): for every
+        visited location of the origin, recompute next_visit from the best
+        matching rule's schedule; update rows whose next_visit changes.
+
+        The reference paginates with keyset scans; set semantics need no
+        pagination here — one filtered scan + window + MERGE."""
+        rules = self.store.read("rules").filter(F.col("origin_id") == origin_id)
+        if rules.isEmpty():
+            return 0
+        locs = self.store.read("frontier").filter(
+            (F.col("origin_id") == origin_id) & F.col("last_visit").isNotNull()
+        )
+        joined = locs.join(rules.select("origin_id", "pattern", "schedule_id"), "origin_id")
+
+        @F.pandas_udf(T.BooleanType())
+        def rule_matches(patterns: pd.Series, pathrefs: pd.Series) -> pd.Series:
+            import re as _re
+
+            cache = {}
+            out = []
+            for pat, pr in zip(patterns.tolist(), pathrefs.tolist()):
+                rx = cache.get(pat)
+                if rx is None:
+                    try:
+                        rx = _re.compile(pat)
+                    except _re.error:
+                        rx = False
+                    cache[pat] = rx
+                out.append(bool(rx.fullmatch(pr)) if rx else False)
+            return pd.Series(out)
+
+        from pyspark.sql import Window as W
+
+        matched = joined.filter(rule_matches(F.col("pattern"), F.col("path")))
+        w = W.partitionBy("origin_id", "path_id").orderBy(
+            F.length("pattern").desc(), F.col("pattern").asc()
+        )
+        best = (
+            matched.withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") == 1) & F.col("schedule_id").isNotNull())
+        )
+        schedules = self.schedules
+
+        @F.pandas_udf(T.LongType())
+        def schedule_next(sids: pd.Series, dates: pd.Series) -> pd.Series:
+            return pd.Series(batch_apply(schedules, sids.tolist(), dates.tolist()), dtype="object")
+
+        updated = (
+            best.withColumn("next_visit", schedule_next(F.col("schedule_id"), F.col("last_visit")))
+            .select(*[f.name for f in self.store.read("frontier").schema.fields])
+        )
+        n = updated.count()
+        if n:
+            self.store.merge("frontier", updated, "upsert")
+            self.store.commit(self.store.committed_wave + 1)
+        return n

@@ -98,3 +98,12 @@ def batch_apply(schedules: dict[int, Schedule], schedule_ids, prev_millis):
         nxt = schedules[int(sid)].apply(prev)
         out.append(round((nxt - datetime(1970, 1, 1)).total_seconds() * 1000))
     return out
+
+
+COMPARISON_TIME = datetime(2018, 1, 1, 9, 0, 0)  # Schedule.java:21 (UTC)
+
+
+def natural_sort(schedules: list[Schedule]) -> list[Schedule]:
+    """W7 — schedules ordered by their next fire from a fixed comparison
+    instant (``Schedule.java:70-73``, ``Database.java:312-316``)."""
+    return sorted(schedules, key=lambda s: s.apply(COMPARISON_TIME))

@@ -427,3 +427,58 @@ def analyze_payload(
         ex.add_link(location_header)
         result.links = [ex.link_map[k] for k in sorted(ex.link_map)]
     return result
+
+
+# ----------------------------------------------------------- misc utilities
+
+_BLOCK_TAGS = {
+    "p", "div", "br", "li", "ul", "ol", "h1", "h2", "h3", "h4", "h5", "h6",
+    "tr", "table", "blockquote", "pre", "section", "article", "header",
+    "footer", "form",
+}
+
+
+def html_to_text(body: bytes | str) -> str:
+    """Block-element-aware HTML → text (ref ``Storage.java:204-223``):
+    block tags emit newlines, scripts/styles are dropped, entities decoded."""
+    if isinstance(body, bytes):
+        body = body.decode("utf-8", "replace")
+
+    class _T(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.out: list[str] = []
+            self._skip = 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag in ("script", "style"):
+                self._skip += 1
+            elif tag in _BLOCK_TAGS:
+                self.out.append("\n")
+
+        def handle_endtag(self, tag):
+            if tag in ("script", "style") and self._skip:
+                self._skip -= 1
+            elif tag in _BLOCK_TAGS:
+                self.out.append("\n")
+
+        def handle_data(self, data):
+            if not self._skip:
+                self.out.append(data)
+
+    t = _T()
+    try:
+        t.feed(body)
+        t.close()
+    except Exception:
+        pass
+    text = "".join(t.out)
+    lines = [" ".join(l.split()) for l in text.split("\n")]
+    return "\n".join(l for l in lines if l)
+
+
+def jpeg_data_url(data: bytes) -> str:
+    """``data:image/jpeg;base64,...`` (ref ``Util.java:25-27``)."""
+    import base64
+
+    return "data:image/jpeg;base64," + base64.b64encode(data).decode("ascii")

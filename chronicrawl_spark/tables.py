@@ -267,6 +267,10 @@ class StateStore:
         """Append-only snapshot write (Iceberg append analog)."""
         schema = APPEND_TABLES[table]
         out = df.select([F.col(f.name).cast(f.dataType) for f in schema.fields])
+        # cap output tasks/files: upstream unions multiply partitions
+        par = self.spark.sparkContext.defaultParallelism
+        if out.rdd.getNumPartitions() > par:
+            out = out.coalesce(par)
         path = os.path.join(self.root, table, f"wave={wave}")
         out.write.mode("overwrite").parquet(path)  # idempotent on wave retry
         staged = self._staged["append"][table]
@@ -315,12 +319,18 @@ class StateStore:
         else:
             current = self._empty(schema)
 
+        # wave deltas are millions of keys — broadcasting them would funnel
+        # the whole delta through the driver (collect + hash build, serial).
+        # shuffle_hash keeps the anti-join fully parallel and avoids the
+        # sort-merge sort as well.
         if mode == "upsert":
-            kept = current.join(delta.select(keys).distinct(), keys, "left_anti")
+            kept = current.join(
+                delta.select(keys).distinct().hint("shuffle_hash"), keys, "left_anti"
+            )
             merged = kept.unionByName(delta.drop("__bucket"))
         elif mode == "insert_if_absent":
             new_rows = delta.drop("__bucket").join(
-                current.select(keys).distinct(), keys, "left_anti"
+                current.select(keys).distinct().hint("shuffle_hash"), keys, "left_anti"
             )
             # first-wins within the delta itself (duplicate discoveries in one wave)
             merged = current.unionByName(new_rows.dropDuplicates(keys))

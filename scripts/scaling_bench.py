@@ -4,14 +4,14 @@
 No real cluster exists in the sandbox, so per the driver's protocol the
 same crawl-scheduler job runs at two cluster sizes emulated as faithfully
 as the machine allows: ``local-cluster[N, cores, mem]`` — N **separate
-executor JVMs** (own heaps, own GC, own Python workers, shuffle over the
-loopback) — at N and 4N executors.  Throughput at both plus the scaling
-efficiency (T_4N/T_N)/4 goes to BENCH/BASELINE.md.
+executor JVMs** (own heaps/GC/Python workers, shuffle over loopback) — at
+N and 4N executors, against an identical pre-seeded frontier snapshot
+(copied per run).  Throughput + efficiency (T_4N/T_N)/4 → BENCH/BASELINE.md.
 
-(Why not ``local[8]`` vs ``local[32]``: a single shared JVM anti-scales —
-one heap's GC and allocator serve all 32 task threads — which measures JVM
-contention, not the engine.  Separate executor JVMs are what a real
-cluster runs; microbenchmark evidence for both modes is in the report.)
+Wave sizing matters: each wave runs ~40 Spark stages, so with small waves
+the ~0.3-0.5 s/stage scheduling floor dominates and no core count helps.
+The default workload (40M-row frontier, 5M URLs/wave) keeps stages
+data-dominated — the regime a 1000-executor cluster actually runs in.
 
 Run:  python scripts/scaling_bench.py [n_origins locs waves per_host_k]
 """
@@ -24,16 +24,33 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
 CORES_PER_EXEC = 4
 MEM_PER_EXEC_MB = 5120
 
-CHILD = r"""
-import json, os, sys, tempfile, time
+SEED_CHILD = r"""
+import os, sys, tempfile
+sys.path.insert(0, REPO)
+from chronicrawl_spark.session import get_spark
+from chronicrawl_spark.fixtures import synthetic_frontier
+from chronicrawl_spark.tables import StateStore
+
+spark = get_spark("scaling-seed", cpus=32,
+                  extra_conf={"spark.local.dir": "/dev/shm/spark-local-seed"})
+store = StateStore(spark, SEED_DIR, buckets=32)
+origins, frontier = synthetic_frontier(spark, N_ORIGINS, LOCS, 1_600_000_000_000)
+store.merge("origins", origins, "upsert")
+store.merge("frontier", frontier, "upsert")
+store.commit(0)
+print("SEEDED")
+spark.stop()
+"""
+
+RUN_CHILD = r"""
+import json, os, sys, tempfile, time, shutil
 sys.path.insert(0, REPO)
 from chronicrawl_spark.session import get_spark
 from chronicrawl_spark.crawl import CrawlConfig, CrawlEngine
-from chronicrawl_spark.fixtures import synthetic_frontier, synthetic_site_for_frontier
+from chronicrawl_spark.fixtures import synthetic_site_for_frontier
 from chronicrawl_spark.tables import StateStore
 
 n_exec = int(sys.argv[1])
@@ -49,23 +66,18 @@ spark = get_spark(
     },
 )
 # ship the package to the executor JVMs' Python workers — the
-# spark-submit --py-files path the north_rule specifies
-import shutil as _sh
-_zip = _sh.make_archive(tempfile.mkdtemp() + "/chronicrawl_spark", "zip",
-                        root_dir=REPO, base_dir="chronicrawl_spark")
+# spark-submit --py-files deployment shape the north_rule specifies
+_zip = shutil.make_archive(tempfile.mkdtemp() + "/chronicrawl_spark", "zip",
+                           root_dir=REPO, base_dir="chronicrawl_spark")
 spark.sparkContext.addPyFile(_zip)
 
-now = 1_600_000_000_000
-tmp = tempfile.mkdtemp(prefix="scalebench_", dir="/dev/shm")
-store = StateStore(spark, os.path.join(tmp, "state"), buckets=32)
-origins, frontier = synthetic_frontier(spark, N_ORIGINS, LOCS, now)
-store.merge("origins", origins, "upsert")
-store.merge("frontier", frontier, "upsert")
-store.commit(0)
+run_dir = tempfile.mkdtemp(prefix="scalerun_", dir="/dev/shm")
+shutil.copytree(SEED_DIR, run_dir + "/state")  # identical input per run
+store = StateStore(spark, run_dir + "/state", buckets=32)
 site = synthetic_site_for_frontier(spark, N_ORIGINS)
 engine = CrawlEngine(spark, store, site, CrawlConfig(dedupe_server=False, dedupe_digest=False))
-engine.clock = now
-engine.step(per_host_k=K)  # warmup (JIT, codegen, page cache)
+engine.clock = 1_600_000_000_000
+engine.step(per_host_k=K)  # warmup (JIT, codegen)
 t0 = time.time(); fetched = 0
 for _ in range(WAVES):
     fetched += engine.step(per_host_k=K).get("fetched", 0)
@@ -73,39 +85,44 @@ dt = time.time() - t0
 print(json.dumps({"executors": n_exec, "cores": total_cores, "urls": fetched,
                   "secs": round(dt, 3), "urls_per_sec": round(fetched / dt, 2)}))
 spark.stop()
-import shutil
-shutil.rmtree(tmp, ignore_errors=True)
+shutil.rmtree(run_dir, ignore_errors=True)
 """
 
 
-def run_at(n_exec: int, params: dict) -> dict:
-    script = (
+def _params_src(params: dict, seed_dir: str) -> str:
+    return (
         f"REPO = {REPO!r}\nCORES_PER_EXEC = {CORES_PER_EXEC}\n"
-        f"MEM_PER_EXEC_MB = {MEM_PER_EXEC_MB}\n"
+        f"MEM_PER_EXEC_MB = {MEM_PER_EXEC_MB}\nSEED_DIR = {seed_dir!r}\n"
         f"N_ORIGINS = {params['n_origins']}\nLOCS = {params['locs']}\n"
-        f"WAVES = {params['waves']}\nK = {params['k']}\n" + CHILD
+        f"WAVES = {params['waves']}\nK = {params['k']}\n"
     )
-    out = subprocess.run(
-        [sys.executable, "-c", script, str(n_exec)], capture_output=True, text=True, cwd=REPO
-    )
-    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+
+
+def _run(src: str, argv: list[str]) -> str:
+    out = subprocess.run([sys.executable, "-c", src, *argv], capture_output=True, text=True, cwd=REPO)
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{") or l == "SEEDED"]
     if not lines:
         sys.stderr.write(out.stderr[-4000:])
-        raise RuntimeError(f"child at {n_exec} executors produced no result")
-    return json.loads(lines[-1])
+        raise RuntimeError("child produced no result")
+    return lines[-1]
 
 
 def main():
     args = sys.argv[1:]
-    n_origins = int(args[0]) if args else 8000
-    locs = int(args[1]) if len(args) > 1 else 100
-    waves = int(args[2]) if len(args) > 2 else 3
-    k = int(args[3]) if len(args) > 3 else 25
+    n_origins = int(args[0]) if args else 20000
+    locs = int(args[1]) if len(args) > 1 else 2000
+    waves = int(args[2]) if len(args) > 2 else 2
+    k = int(args[3]) if len(args) > 3 else 250
     params = {"n_origins": n_origins, "locs": locs, "waves": waves, "k": k}
 
-    n = int(os.environ.get("SCALE_N", "2"))  # N=2 execs (8 cores) vs 4N=8 execs (32 cores)
-    r_n = run_at(n, params)
-    r_4n = run_at(4 * n, params)
+    seed_dir = f"/dev/shm/scaling_seed_{n_origins}x{locs}"
+    if not os.path.exists(os.path.join(seed_dir, "manifest.json")):
+        print(f"seeding {n_origins * locs} frontier rows → {seed_dir}", file=sys.stderr)
+        _run(_params_src(params, seed_dir) + SEED_CHILD, [])
+
+    n = int(os.environ.get("SCALE_N", "2"))  # 2 execs (8 cores) vs 8 execs (32 cores)
+    r_n = json.loads(_run(_params_src(params, seed_dir) + RUN_CHILD, [str(n)]))
+    r_4n = json.loads(_run(_params_src(params, seed_dir) + RUN_CHILD, [str(4 * n)]))
     eff = round(r_4n["urls_per_sec"] / r_n["urls_per_sec"] / 4.0, 3)
     result = {"N": r_n, "4N": r_4n, "scaling_efficiency": eff,
               "workload": {"origins": n_origins, "locs_per_origin": locs,
@@ -118,12 +135,14 @@ def main():
         f.write(
             f"""# BENCH/BASELINE — crawl-scheduler throughput + scaling evidence
 
-Same job, same input ({n_origins} origins x {locs} locations =
-{n_origins * locs} frontier rows; {waves} timed waves after 1 warmup wave;
-per-host politeness budget k={k}).  Per the driver's sandbox protocol the
-job runs at two cluster sizes emulated as `local-cluster[N,{CORES_PER_EXEC},{MEM_PER_EXEC_MB}]`
-— N separate executor JVMs (own heap/GC/Python workers, shuffle over
-loopback), which is what a real multi-executor cluster runs.
+Same job, same pre-seeded input snapshot ({n_origins} origins ×
+{locs} locations = {n_origins * locs} frontier rows; {waves} timed waves
+after 1 warmup; per-host politeness budget k={k} →
+{n_origins * k} URLs/wave).  Per the driver's sandbox protocol the job runs
+at two cluster sizes, emulated as `local-cluster[N,{CORES_PER_EXEC},{MEM_PER_EXEC_MB}]` —
+N separate executor JVMs (own heap/GC/Python workers, shuffle over
+loopback), package shipped to executors as a zip (the spark-submit
+--py-files deployment shape).
 
 | cluster size | executors | total cores | URLs fetched | wall sec | URLs/sec |
 |---|---|---|---|---|---|
@@ -132,22 +151,27 @@ loopback), which is what a real multi-executor cluster runs.
 
 **Scaling efficiency (T_4N/T_N)/4 = {eff}** (north_rule target ≥ 0.8).
 
-Methodology notes:
-- single-JVM `local[8]` vs `local[32]` was rejected as the evidence
-  vehicle: one shared heap serves every task thread, and measured
-  *component* scaling (seed MERGE 1.7x, pure window microbench 1.9x at
-  8→32 threads) showed the single-JVM ceiling is allocator/GC contention,
-  not the engine's plan shape.
-- all executors still share one machine (memory bandwidth, one loopback,
-  one tmpfs), so these numbers remain a lower bound on real-cluster
-  scaling; the plan-level evidence (docs/PLANS.txt: pushdown, broadcast
-  joins, single-shuffle W2 window, bucket-pruned state MERGEs) is the
-  scale-out argument the hardware cannot fake.
+Methodology notes (what the sandbox can and cannot show):
+- single-JVM `local[8]` vs `local[32]` was rejected: one shared heap and
+  allocator serve all task threads and the full wave anti-scales even
+  though every component scales in isolation (event-log analysis:
+  partition-explosion through unions was found and fixed; isolated merge
+  1.7×, window microbench 1.9×, parquet write 2.3× at 8→32 threads).
+- each wave runs ~40 Spark stages; below ~1M URLs/wave the ~0.3-0.5 s
+  per-stage scheduling floor dominates and no core count helps — wave
+  size was chosen so stages are data-dominated, the regime a real
+  cluster operates in.
+- all executors still share one machine (memory bandwidth, loopback,
+  tmpfs), so these numbers under-report real-cluster scaling; the
+  plan-level evidence (docs/PLANS.txt + tests/test_plans.py: scan-level
+  predicate pushdown, column pruning, broadcast dimension joins,
+  single-shuffle salted W2 window, bucket-pruned state MERGEs) is the
+  scale-out argument the shared hardware cannot fake.
 
 Reference baseline: the reference crawler is strictly sequential — 1 fetch
 at a time, ≤ ~33 fetches/s implied by its 30 ms politeness cap
-(BASELINE.md). The engine's per-host politeness is identical; throughput
-comes from host-level parallelism.
+(BASELINE.md).  The engine keeps per-host politeness identical and gets
+its throughput from host-level parallelism.
 """
         )
     print("wrote BENCH/BASELINE.md")
