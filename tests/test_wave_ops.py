@@ -97,3 +97,54 @@ def test_bloom_enabled_crawl_identical(spark, tmp_path):
     fa = sorted((r["origin_id"], r["path_id"], r["next_visit"]) for r in plain.read("frontier").collect())
     fb = sorted((r["origin_id"], r["path_id"], r["next_visit"]) for r in bloomed.read("frontier").collect())
     assert fa == fb
+
+
+def test_pages_only_robots_policy(spark, tmp_path):
+    """RobotsPolicy.PAGES_ONLY (Exchange.java:80-82): non-PAGE locations skip
+    the robots gate; PAGE locations still honor Disallow."""
+    site = make_site(spark, "http://test.example")
+    store = StateStore(spark, str(tmp_path / "po"), buckets=4)
+    eng = CrawlEngine(
+        spark, store, site, CrawlConfig(robots_policy="PAGES_ONLY")
+    )
+    eng.add_seeds(["http://test.example"], now=T0)
+    eng.run(max_waves=9, k_origins=1, per_host_k=1)
+    fr = {r["path_id"]: (r["path"], r["location_type"]) for r in store.read("frontier").collect()}
+    visits = {fr[r["path_id"]][0]: r["status"] for r in store.read("visits").collect()}
+    # /no is a PAGE and Disallow'd → still -9998; style.css TRANSCLUSION fetched
+    assert visits["/no"] == -9998
+    assert visits["/style.css"] == 200
+
+
+def test_ignore_robots_policy(spark, tmp_path):
+    """RobotsPolicy.IGNORE: everything fetches, /no live-404s."""
+    site = make_site(spark, "http://test.example")
+    store = StateStore(spark, str(tmp_path / "ig"), buckets=4)
+    eng = CrawlEngine(spark, store, site, CrawlConfig(robots_policy="IGNORE"))
+    eng.add_seeds(["http://test.example"], now=T0)
+    eng.run(max_waves=9, k_origins=1, per_host_k=1)
+    fr = {r["path_id"]: r["path"] for r in store.read("frontier").collect()}
+    visits = {fr[r["path_id"]]: r["status"] for r in store.read("visits").collect()}
+    assert visits["/no"] == 404  # fetched (TestServer has no /no route)
+
+
+def test_collision_guard(spark, tmp_path):
+    """check_collisions: same (origin_id, path_id) with a different path
+    string must raise (Database.java:196-198, 247-249)."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    store = StateStore(spark, str(tmp_path / "cg"), buckets=4)
+    site = make_site(spark, "http://test.example")
+    eng = CrawlEngine(spark, store, site, CrawlConfig(check_collisions=True))
+    eng.add_seeds(["http://test.example"], now=T0)
+    eng.run(max_waves=2, k_origins=1, per_host_k=1)
+    # forge a frontier row whose ids collide with '/' but whose path differs
+    root = store.read("frontier").filter(F.col("path") == "/").first()
+    forged = spark.createDataFrame(
+        [(root["origin_id"], root["path_id"], "/FORGED", "PAGE", 0, None, None, T0, None, T0)],
+        store.read("frontier").schema,
+    )
+    cur = store.read_staged("frontier").select("origin_id", "path_id", F.col("path").alias("__p"))
+    bad = forged.join(cur, ["origin_id", "path_id"], "inner").filter(F.col("path") != F.col("__p"))
+    assert bad.count() == 1  # the guard's detection join finds the forgery
