@@ -196,7 +196,7 @@ def q_a1_metrics_buckets(spark, sf_dir):
 
 SQL_A1 = """
 SELECT CAST(ROUND(epoch_ms(ts)/3600000.0) AS BIGINT)*3600000 AS bucket_ms,
-       COUNT(*) AS visits, SUM(CAST(ROUND(value*100) AS BIGINT)) AS total_cents
+       COUNT(*) AS visits, CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM events GROUP BY 1 ORDER BY 1
 """
 
@@ -243,7 +243,7 @@ def q_j3_cdx_star(spark, sf_dir):
 
 SQL_J3 = """
 SELECT n_name AS nation, r_name AS region, COUNT(*) AS visits,
-       SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS cents
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS cents
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -467,7 +467,7 @@ def q_f9_pushdown_scan(spark, sf_dir):
 
 
 SQL_F9 = """
-SELECT l_returnflag, COUNT(*) AS n, SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS cents
+SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS cents
 FROM lineitem WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
 GROUP BY 1 ORDER BY 1
 """

@@ -35,10 +35,45 @@ def _normalize(df):
     return cols, rows
 
 
+def _canon_type(t):
+    """Canonicalize an Arrow type so dtype drift (e.g. DuckDB widening
+    SUM(BIGINT) to HUGEINT/decimal128) fails locally the same way the
+    driver's type-sensitive value-hash fails."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return f"int{t.bit_width}"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_canon_type(t.value_type)}>"
+    return str(t)
+
+
+def _arrow_types(tbl):
+    return {f.name: _canon_type(f.type) for f in tbl.schema}
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_match(spark, name):
-    sdf = QUERIES[name](spark, SF_DIR).toPandas()
-    ddf = _duck().execute(ORACLES[name]).fetch_df()
+    sarrow = QUERIES[name](spark, SF_DIR).toArrow()
+    darrow = _duck().execute(ORACLES[name]).fetch_arrow_table()
+    stypes, dtypes = _arrow_types(sarrow), _arrow_types(darrow)
+    assert stypes == dtypes, f"{name}: column dtypes differ {stypes} vs {dtypes}"
+    sdf = sarrow.to_pandas()
+    ddf = darrow.to_pandas()
     scols, srows = _normalize(sdf)
     dcols, drows = _normalize(ddf)
     assert scols == dcols, f"{name}: column names differ {scols} vs {dcols}"
