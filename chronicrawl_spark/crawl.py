@@ -170,9 +170,12 @@ class CrawlEngine:
         # (driver planning was the dominant serial cost per wave)
         wave = wave.localCheckpoint(eager=True)
         stats = wave.agg(
-            F.count("*").alias("n"), F.countDistinct("origin_id").alias("hosts")
+            F.count("*").alias("n"),
+            F.countDistinct("origin_id").alias("hosts"),
+            F.collect_set(F.pmod(F.col("origin_id"), F.lit(store.buckets)).cast("int")).alias("bks"),
         ).first()
         n_wave, n_hosts = stats["n"], stats["hosts"]
+        wave_buckets = stats["bks"]
         n_elig = elig.count()
 
         # park eligible origins with no due locations (Crawl.java:123-126);
@@ -190,7 +193,7 @@ class CrawlEngine:
             store.commit(w)
             return {"wave": w, "ts": T, "fetched": 0, "parked": n_parked}
 
-        exch = self._exchange(wave, T)
+        exch = self._exchange(wave, T, wave_buckets)
         # the robots-gate and fetch/denied unions CONCATENATE partitions
         # (32 → 128 through two unions) — coalesce back to the session
         # parallelism before checkpointing or every downstream write runs
@@ -256,9 +259,27 @@ class CrawlEngine:
         gated = with_robots.withColumn("allowed", allowed)
         return no_robots.unionByName(gated)
 
-    def _exchange(self, wave: DataFrame, T: int) -> DataFrame:
-        """Robots gate → fetch → digest → dedupe; one row per exchange."""
+    def _exchange(self, wave: DataFrame, T: int, wave_buckets: list | None = None) -> DataFrame:
+        """Robots gate → fetch → digest → dedupe; one row per exchange.
+
+        J6/J7 history lookups (the reference's per-URL indexed SELECTs,
+        ``Database.java:387-395``, ``schema.sql:131,139``) are pruned two
+        ways before any window/join: (a) the visits/warc scans read only the
+        buckets this wave touches (manifest-level file pruning), (b) a
+        left-semi join against the wave's (origin_id, path_id) keys — wave ≪
+        history, and the semi join's hash partitioning is reused by the J6
+        window, so history rows outside the wave never shuffle.
+        """
         cfg = self.config
+        wk = wave.select("origin_id", "path_id")
+        if wave_buckets is None:
+            visits_hist = self.store.read("visits")
+            warc_hist = self.store.read("warc_records")
+        else:
+            visits_hist = self.store.read_pruned("visits", wave_buckets)
+            warc_hist = self.store.read_pruned("warc_records", wave_buckets)
+        visits_hist = visits_hist.join(wk.hint("shuffle_hash"), ["origin_id", "path_id"], "left_semi")
+        warc_hist = warc_hist.join(wk.hint("shuffle_hash"), ["origin_id", "path_id"], "left_semi")
         gated = self._robots_gate(wave)
         allowed = gated.filter(F.col("allowed"))
         denied = (
@@ -274,8 +295,8 @@ class CrawlEngine:
         fetched = simulate_fetch(
             allowed,
             self.site,
-            self.store.read("visits"),
-            self.store.read("warc_records"),
+            visits_hist,
+            warc_hist,
             T,
             dedupe_server=cfg.dedupe_server,
         )
@@ -297,8 +318,8 @@ class CrawlEngine:
         # non-revisit visit with same truncated digest, full-digest recheck
         # against the stored WARC payload, min(date) pinned for determinism.
         if cfg.dedupe_digest:
-            visits = self.store.read("visits")
-            warc = self.store.read("warc_records")
+            visits = visits_hist
+            warc = warc_hist
             originals = (
                 visits.filter(
                     F.col("revisit_of_date").isNull() & F.col("response_payload_digest").isNotNull()

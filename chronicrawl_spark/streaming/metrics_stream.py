@@ -28,7 +28,9 @@ def visit_stream(spark: SparkSession, store_root: str) -> DataFrame:
     return (
         spark.readStream.schema(VISITS_SCHEMA)
         .option("pathGlobFilter", "*.parquet")
-        .parquet(f"{store_root}/visits/wave=*")
+        # visits waves are bucketed by pmod(origin_id, B) — glob to the leaf
+        # dirs so partition discovery never mixes wave=/bucket= levels
+        .parquet(f"{store_root}/visits/wave=*/bucket=*")
     )
 
 

@@ -165,6 +165,13 @@ APPEND_TABLES = {
     "lineage": LINEAGE_SCHEMA,
 }
 
+# Append tables also bucketed by pmod(origin_id, B) — the Spark analog of the
+# reference's (origin_id, path_id, date) SQLite indexes (schema.sql:131,139):
+# per-wave J6/J7 history lookups scan only the wave's buckets instead of the
+# whole table.  Manifest records which buckets each wave wrote (Iceberg
+# manifest-file analog) so reads never list directories at scale.
+BUCKETED_APPEND = {"visits", "warc_records"}
+
 
 class StateStore:
     """Snapshot-versioned parquet state store (Iceberg-COW analog)."""
@@ -252,27 +259,72 @@ class StateStore:
                     paths.append(os.path.join(self.root, table, f"v{v}", f"bucket={b}"))
             df = self.spark.read.schema(schema).parquet(*paths)
             return df
+        return self._read_append(manifest, table, None)
+
+    def _read_append(self, manifest: dict, table: str, buckets) -> DataFrame:
+        """Append-table scan, optionally pruned to a bucket subset (J6/J7
+        read only the buckets the current wave touches)."""
         schema = APPEND_TABLES[table]
         waves = manifest["append"][table]
         if not waves:
             return self._empty(schema)
-        paths = [os.path.join(self.root, table, f"wave={w}") for w in waves]
+        bmap = manifest.get("append_buckets", {}).get(table, {})
+        want = None if buckets is None else {int(b) for b in buckets}
+        paths = []
+        for w in waves:
+            bl = bmap.get(str(w))
+            if bl is None:  # legacy unbucketed wave dir — cannot prune
+                paths.append(os.path.join(self.root, table, f"wave={w}"))
+                continue
+            for b in bl:
+                if want is None or int(b) in want:
+                    paths.append(os.path.join(self.root, table, f"wave={w}", f"bucket={b}"))
+        if not paths:
+            return self._empty(schema)
         return self.spark.read.schema(schema).parquet(*paths)
+
+    def read_pruned(self, table: str, buckets) -> DataFrame:
+        """Committed snapshot of an append table restricted to ``buckets``
+        (values of ``pmod(origin_id, B)``).  Equivalent to ``read`` filtered
+        on bucket, but prunes at the file-listing level — the 10^10-row
+        history never hits the scan."""
+        return self._read_append(self.manifest, table, buckets)
 
     # ------------------------------------------------------------ writes
     def _bucket_col(self, df: DataFrame, table: str):
         return F.pmod(F.col("origin_id"), F.lit(self.buckets)).cast("int")
 
     def append(self, table: str, df: DataFrame, wave: int) -> None:
-        """Append-only snapshot write (Iceberg append analog)."""
+        """Append-only snapshot write (Iceberg append analog).
+
+        ``BUCKETED_APPEND`` tables land under ``wave=N/bucket=B`` with one
+        file per bucket; the bucket list is recorded in the manifest so
+        ``read_pruned`` prunes by file list, never by directory listing.
+        """
         schema = APPEND_TABLES[table]
         out = df.select([F.col(f.name).cast(f.dataType) for f in schema.fields])
-        # cap output tasks/files: upstream unions multiply partitions
         par = self.spark.sparkContext.defaultParallelism
-        if out.rdd.getNumPartitions() > par:
-            out = out.coalesce(par)
         path = os.path.join(self.root, table, f"wave={wave}")
-        out.write.mode("overwrite").parquet(path)  # idempotent on wave retry
+        if table in BUCKETED_APPEND:
+            out = out.withColumn("bucket", self._bucket_col(out, table))
+            # hash-repartition on bucket: ≤1 file per bucket per wave
+            (
+                out.repartition(min(self.buckets, par), "bucket")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(path)
+            )
+            written = sorted(
+                int(d.split("=", 1)[1])
+                for d in os.listdir(path)
+                if d.startswith("bucket=")
+            )
+            self._staged.setdefault("append_buckets", {}).setdefault(table, {})[str(wave)] = written
+        else:
+            # cap output tasks/files: upstream unions multiply partitions
+            if out.rdd.getNumPartitions() > par:
+                out = out.coalesce(par)
+            out.write.mode("overwrite").parquet(path)  # idempotent on wave retry
         staged = self._staged["append"][table]
         if wave not in staged:
             staged.append(wave)
