@@ -87,6 +87,7 @@ class CrawlEngine:
         self.clock: int | None = None  # virtual time (epoch millis)
         self._rules_empty: bool | None = None  # cached; invalidated by add_rules
         self._lineage: list[tuple] = []  # (table, op, buckets) per wave
+        self._disc_caches: list[DataFrame] = []  # persisted discovery frames
 
     def _merge(self, table: str, delta, mode: str) -> int:
         """StateStore.merge + lineage accounting."""
@@ -136,12 +137,26 @@ class CrawlEngine:
         per_host_k: int = 1,
         salt: int | None = None,
     ) -> dict:
+        """One fetch wave.
+
+        Driver-action budget (the N→4N scaling lever): the wave runs a fixed
+        small number of jobs regardless of size — nv_min agg, wave
+        checkpoint, stats agg, exch checkpoint, 2 appends, discovery count,
+        and ONE fused COW merge each for frontier (visit updates + new
+        discoveries, mixed-mode) and origins (politeness + robots + parked +
+        new origins).  Everything else is folded into those jobs: touched
+        buckets ride the stats agg, per-subset row counts ride the merges'
+        bucket-discovery job (``__tag``).
+        """
         cfg = self.config
         store = self.store
         origins = store.read("origins")
         frontier = store.read("frontier")
 
-        # F1 + virtual clock advance (Crawl.java:104-122)
+        # F1 + virtual clock advance (Crawl.java:104-122).  Kept as its own
+        # tiny job (origins is the hosts table, ≪ frontier): making T a
+        # runtime subquery would lose the literal next_visit<=T pushdown on
+        # the frontier scan, which matters far more at 10^10 rows.
         elig_all = origins.filter(
             (F.col("crawl_policy") == "CONTINUOUS") & F.col("next_visit").isNotNull()
         )
@@ -151,7 +166,7 @@ class CrawlEngine:
         T = max(self.clock or 0, nv_min)
         self.clock = T
 
-        elig = eligible_origins(origins.withColumn("discovered", F.col("discovered")), T)
+        elig = eligible_origins(origins, T)
         if k_origins is not None:
             picked = (
                 elig.orderBy(F.col("next_visit").asc(), F.col("discovered").asc(), F.col("origin_id").asc())
@@ -161,7 +176,7 @@ class CrawlEngine:
             elig = elig.join(F.broadcast(picked), "origin_id", "left_semi")
 
         se = store.read("sitemap_entries")
-        wave = select_wave(frontier, elig.withColumn("discovered", F.col("discovered")), se, T, k=per_host_k, salt=salt)
+        wave = select_wave(frontier, elig, se, T, k=per_host_k, salt=salt)
         # carry origin.discovered for the full-row origin upsert
         wave = wave.join(F.broadcast(origins.select("origin_id", F.col("discovered").alias("o_discovered"))), "origin_id", "left")
         # localCheckpoint (not persist): truncates the logical plan so the
@@ -176,19 +191,20 @@ class CrawlEngine:
         ).first()
         n_wave, n_hosts = stats["n"], stats["hosts"]
         wave_buckets = stats["bks"]
-        n_elig = elig.count()
 
-        # park eligible origins with no due locations (Crawl.java:123-126);
-        # skipped entirely when every eligible host produced wave rows
-        n_parked = 0
-        if n_hosts < n_elig:
-            parked = elig.join(wave.select("origin_id").distinct(), "origin_id", "left_anti")
-            parked_rows = parked.withColumn("last_visit", F.lit(T)).withColumn(
-                "next_visit", F.lit(None).cast("long")
-            )
-            n_parked = self._merge("origins", parked_rows, "upsert")
+        # park eligible origins with no due locations (Crawl.java:123-126) —
+        # an anti-join against the (checkpointed, tiny) wave's hosts; the
+        # rows ride the fused origins merge, tagged for the count
+        parked_rows = (
+            elig.join(wave.select("origin_id").distinct(), "origin_id", "left_anti")
+            .withColumn("last_visit", F.lit(T))
+            .withColumn("next_visit", F.lit(None).cast("long"))
+            .withColumn("__tag", F.lit("parked"))
+        )
 
         if n_wave == 0:
+            self._merge("origins", parked_rows, "upsert")
+            n_parked = store.last_merge_stats["rows_by_tag"].get("parked", 0)
             w = store.committed_wave + 1
             store.commit(w)
             return {"wave": w, "ts": T, "fetched": 0, "parked": n_parked}
@@ -201,10 +217,28 @@ class CrawlEngine:
         exch = exch.coalesce(self.spark.sparkContext.defaultParallelism).localCheckpoint(eager=True)
 
         self._append_visits_and_warc(exch, T)
-        self._update_frontier_visit_data(exch, T)
         n_fetched = n_wave  # one visit row per wave row by construction
-        self._update_origins(exch, wave, T)
-        n_disc = self._discover_and_enqueue(exch, T)
+
+        # build all mutable-table deltas lazily, then ONE merge per table
+        frontier_updates = self._frontier_visit_updates(exch, T)
+        origin_updates = self._origin_updates(exch, wave, T)
+        sm_rows, frontier_new, new_origins = self._discover(exch, T)
+
+        o_delta = origin_updates.withColumn("__tag", F.lit("visited"))
+        if new_origins is not None:
+            o_delta = o_delta.unionByName(new_origins.withColumn("__tag", F.lit("new_origin")))
+        o_delta = o_delta.unionByName(parked_rows.select(*o_delta.columns))
+        self._merge("origins", o_delta, "upsert")
+        n_parked = store.last_merge_stats["rows_by_tag"].get("parked", 0)
+
+        if sm_rows is not None:
+            self._merge("sitemap_entries", sm_rows, "upsert")
+
+        st = store.merge_mixed("frontier", frontier_updates, frontier_new)
+        self._lineage.append(("frontier", "mixed", st["buckets"]))
+        n_disc = st["insert_rows"]
+        self._release_discovery_caches()
+
         self._append_metrics(exch, T)
 
         w = store.committed_wave + 1
@@ -475,8 +509,9 @@ class CrawlEngine:
 
         return best.withColumn("nv_schedule", schedule_next(F.col("schedule_id"), F.lit(self.clock)))
 
-    def _update_frontier_visit_data(self, exch: DataFrame, T: int) -> int:
-        """C10/C11 next-visit cascade + updateVisitData MERGE."""
+    def _frontier_visit_updates(self, exch: DataFrame, T: int) -> DataFrame:
+        """C10/C11 next-visit cascade → updateVisitData delta (merged by the
+        caller in one fused frontier MERGE with the wave's discoveries)."""
         cfg = self.config
         nv_rule = self._rule_next_visit(exch)
         out = exch
@@ -512,15 +547,14 @@ class CrawlEngine:
         updated = out.withColumn(
             "next_visit", F.coalesce("nv_schedule", nv_changefreq, nv_aimd, nv_initial)
         ).withColumn("last_visit", F.lit(T))
-        frontier_rows = updated.select(
+        return updated.select(
             "origin_id", "path_id", "path", "location_type", "depth",
             "via_origin_id", "via_path_id", "discovered", "last_visit", "next_visit",
         )
-        self._merge("frontier", frontier_rows, "upsert")
-        return None
 
-    def _update_origins(self, exch: DataFrame, wave: DataFrame, T: int) -> None:
-        """C12 politeness + robots-field updates (updateVisit/updateRobots)."""
+    def _origin_updates(self, exch: DataFrame, wave: DataFrame, T: int) -> DataFrame:
+        """C12 politeness + robots-field updates (updateVisit/updateRobots)
+        → origins delta (merged by the caller in one fused origins MERGE)."""
         cfg = self.config
         delay = F.when(F.col("status") == C.ROBOTS_DISALLOWED, F.lit(0)).otherwise(
             F.least(
@@ -585,19 +619,33 @@ class CrawlEngine:
             )
             .drop("__new_delay", "__new_robots")
         )
-        self._merge("origins", merged, "upsert")
+        return merged
 
-    def _discover_and_enqueue(self, exch: DataFrame, T: int) -> int:
-        """process() + enqueue(): extraction, depth cut, URL-seen anti-join."""
+    def _release_discovery_caches(self) -> None:
+        for df in self._disc_caches:
+            df.unpersist()
+        self._disc_caches = []
+
+    def _discover(self, exch: DataFrame, T: int):
+        """process() + enqueue(): extraction, depth cut, URL-seen anti-join.
+
+        Returns lazy deltas ``(sm_rows, frontier_new, new_origins)`` (each
+        possibly None); the caller folds them into the wave's fused MERGEs
+        and then calls ``_release_discovery_caches``.
+        """
         cfg = self.config
+        self._disc_caches = []
         succ = exch.filter(
             (F.col("status") >= 200) & (F.col("status") <= 299) & F.col("revisit_of_date").isNull()
         )
         # cheap early-out on cached exch: scheduler-only waves (no successful
         # processable fetches) skip the whole discovery machinery
         if succ.isEmpty():
-            return 0
+            return None, None, None
         disc = process_success_rows(succ, cfg.user_agent, cfg.max_robots_bytes).persist()
+        self._disc_caches.append(disc)
+        # one job: materializes the persist AND gates each delta by kind
+        kinds = {r["kind"]: r["count"] for r in disc.groupBy("kind").count().collect()}
 
         # sitemap entries upsert (insertOrReplace, Database.java:340-343)
         sm = disc.filter(F.col("kind") == "sm_entry").withColumn("u", url_parts(F.col("url")))
@@ -615,8 +663,10 @@ class CrawlEngine:
             F.col("sitemap_origin_id").asc(), F.col("sitemap_path_id").asc()
         )
         sm_rows = sm_rows.withColumn("__rn", F.row_number().over(w_sm)).filter(F.col("__rn") == 1).drop("__rn")
-        if not sm_rows.isEmpty():
-            self._merge("sitemap_entries", sm_rows, "upsert")
+        if not kinds.get("sm_entry"):
+            sm_rows = None
+        if not kinds.get("loc"):
+            return sm_rows, None, None
 
         # enqueue (Crawl.java:72-80): depth cut FIRST (before any insert)
         locs = (
@@ -627,6 +677,7 @@ class CrawlEngine:
             .filter(F.col("u.origin_id").isNotNull())
             .persist()
         )
+        self._disc_caches.append(locs)
 
         origins_now = self.store.read_staged("origins")
         # robots-location quirk (Crawl.java:76-78): tryInsert returns
@@ -649,8 +700,6 @@ class CrawlEngine:
             F.lit(None).cast("short").alias("robots_crawl_delay"),
             F.lit(None).cast("binary").alias("robots_txt"),
         )
-        if not new_origins.isEmpty():
-            self._merge("origins", new_origins, "insert_if_absent")
 
         robots_origins = oc.filter(F.col("__pre").isNotNull() | (F.col("__cnt") >= 2))
 
@@ -714,18 +763,13 @@ class CrawlEngine:
                 cur.select("origin_id", "path_id"), ["origin_id", "path_id"], "left_anti"
             )
             all_new = definite_new.unionByName(verified_new)
-        n = all_new.count()
-        if n:
-            if cfg.check_collisions:
-                cur = self.store.read_staged("frontier").select("origin_id", "path_id", F.col("path").alias("__p"))
-                bad = all_new.join(cur, ["origin_id", "path_id"], "inner").filter(F.col("path") != F.col("__p"))
-                clash = bad.limit(1).collect()
-                if clash:
-                    raise RuntimeError(f"Hash collision: {clash[0]['path']} vs {clash[0]['__p']}")
-            self._merge("frontier", all_new, "insert_if_absent")
-        disc.unpersist()
-        locs.unpersist()
-        return n
+        if cfg.check_collisions:
+            cur = self.store.read_staged("frontier").select("origin_id", "path_id", F.col("path").alias("__p"))
+            bad = all_new.join(cur, ["origin_id", "path_id"], "inner").filter(F.col("path") != F.col("__p"))
+            clash = bad.limit(1).collect()
+            if clash:
+                raise RuntimeError(f"Hash collision: {clash[0]['path']} vs {clash[0]['__p']}")
+        return sm_rows, all_new, new_origins
 
     def _append_metrics(self, exch: DataFrame, T: int) -> None:
         wave_n = self.store.committed_wave + 1

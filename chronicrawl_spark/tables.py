@@ -184,6 +184,7 @@ class StateStore:
         self.manifest = self._load_manifest()
         # staged (uncommitted) manifest mutations for the in-flight wave
         self._staged = json.loads(json.dumps(self.manifest))
+        self.last_merge_stats: dict = {}
 
     # ------------------------------------------------------------ manifest
     def _manifest_path(self, wave: int | None = None) -> str:
@@ -342,19 +343,77 @@ class StateStore:
                               the reference's tryInsert, ``Database.java:186-200``)
 
         Only buckets present in the delta are rewritten.  Returns the number
-        of buckets rewritten (lineage metric).
+        of buckets rewritten (lineage metric); per-mode/tag row counts land
+        in ``self.last_merge_stats``.
+        """
+        if mode == "upsert":
+            st = self._merge_cow(table, upsert=delta, insert=None)
+        elif mode == "insert_if_absent":
+            st = self._merge_cow(table, upsert=None, insert=delta)
+        else:
+            raise ValueError(mode)
+        return st["buckets"]
+
+    def merge_mixed(self, table: str, upsert: DataFrame, insert: DataFrame) -> dict:
+        """One COW pass combining an UPDATE delta and an INSERT-IF-ABSENT
+        delta (one bucket-discovery job + one write instead of two of each).
+        An insert key colliding with an existing row OR an upsert key is
+        dropped (existing/updated row wins — tryInsert semantics).  Returns
+        ``last_merge_stats``."""
+        return self._merge_cow(table, upsert=upsert, insert=insert)
+
+    def _merge_cow(self, table: str, upsert: DataFrame | None, insert: DataFrame | None) -> dict:
+        """Shared COW merge core.
+
+        Deltas may carry an optional ``__tag`` string column: row counts per
+        (mode, tag) are collected in the same job that discovers touched
+        buckets and reported in ``last_merge_stats["rows_by_tag"]`` — callers
+        get per-subset counts (parked / discovered / …) without extra
+        actions.
         """
         schema, keys = MUTABLE_TABLES[table]
-        delta = delta.select([F.col(f.name).cast(f.dataType) for f in schema.fields])
+        cols = [f.name for f in schema.fields]
+
+        def _prep(df: DataFrame, iia: bool) -> DataFrame:
+            tag = F.col("__tag") if "__tag" in df.columns else F.lit(None).cast("string")
+            return df.select(
+                *[F.col(f.name).cast(f.dataType) for f in schema.fields],
+                tag.alias("__tag"),
+            ).withColumn("__iia", F.lit(iia))
+
+        parts = []
+        if upsert is not None:
+            parts.append(_prep(upsert, False))
+        if insert is not None:
+            parts.append(_prep(insert, True))
+        delta = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
         delta = delta.withColumn("__bucket", self._bucket_col(delta, table))
         # evaluated twice (bucket discovery + write) — cache to avoid
         # recomputing upstream UDF stages
         delta = delta.persist()
-        # the wave delta is small relative to the table — collect touched buckets
-        touched = [r[0] for r in delta.select("__bucket").distinct().collect()]
+        # the wave delta is small relative to the table — one job collects
+        # touched buckets AND per-(mode, tag) row counts
+        counts = delta.groupBy("__bucket", "__iia", "__tag").count().collect()
+        touched = sorted({r["__bucket"] for r in counts})
+        rows_by_tag: dict = {}
+        up_rows = ins_rows = 0
+        for r in counts:
+            key = r["__tag"] or ("insert" if r["__iia"] else "upsert")
+            rows_by_tag[key] = rows_by_tag.get(key, 0) + r["count"]
+            if r["__iia"]:
+                ins_rows += r["count"]
+            else:
+                up_rows += r["count"]
+        stats = {
+            "buckets": len(touched),
+            "upsert_rows": up_rows,
+            "insert_rows": ins_rows,
+            "rows_by_tag": rows_by_tag,
+        }
+        self.last_merge_stats = stats
         if not touched:
             delta.unpersist()
-            return 0
+            return stats
         bmap: dict = self._staged["mutable"][table]
         by_ver: dict[int, list[str]] = {}
         for b in touched:
@@ -371,23 +430,28 @@ class StateStore:
         else:
             current = self._empty(schema)
 
+        ups = delta.filter(~F.col("__iia")).select(cols)
+        ins = delta.filter(F.col("__iia")).select(cols)
         # wave deltas are millions of keys — broadcasting them would funnel
         # the whole delta through the driver (collect + hash build, serial).
-        # shuffle_hash keeps the anti-join fully parallel and avoids the
+        # shuffle_hash keeps the anti-joins fully parallel and avoids the
         # sort-merge sort as well.
-        if mode == "upsert":
-            kept = current.join(
-                delta.select(keys).distinct().hint("shuffle_hash"), keys, "left_anti"
-            )
-            merged = kept.unionByName(delta.drop("__bucket"))
-        elif mode == "insert_if_absent":
-            new_rows = delta.drop("__bucket").join(
+        merged = current
+        if up_rows:
+            merged = current.join(
+                ups.select(keys).distinct().hint("shuffle_hash"), keys, "left_anti"
+            ).unionByName(ups)
+        if ins_rows:
+            new_rows = ins.join(
                 current.select(keys).distinct().hint("shuffle_hash"), keys, "left_anti"
             )
+            if up_rows:
+                # updated keys are existing rows — tryInsert loses to them too
+                new_rows = new_rows.join(
+                    ups.select(keys).distinct().hint("shuffle_hash"), keys, "left_anti"
+                )
             # first-wins within the delta itself (duplicate discoveries in one wave)
-            merged = current.unionByName(new_rows.dropDuplicates(keys))
-        else:
-            raise ValueError(mode)
+            merged = merged.unionByName(new_rows.dropDuplicates(keys))
 
         version = self._staged["next_version"][table]
         self._staged["next_version"][table] = version + 1
@@ -402,7 +466,7 @@ class StateStore:
         delta.unpersist()
         for b in touched:
             bmap[str(b)] = version
-        return len(touched)
+        return stats
 
     def overwrite(self, table: str, df: DataFrame) -> int:
         """Full-table rewrite (seeding / small dimension tables)."""
