@@ -61,14 +61,20 @@ class CrawlConfig:
     dedupe_min_length: int = 64  # Config.java:202
     max_robots_bytes: int = 512 * 1024  # Config.java:102
     user_agent: str = "Chronicrawl/spark"
-    check_collisions: bool = False  # xxh64 collision guard (Database.java:196-198)
+    # xxh64 collision guard — the reference ALWAYS checks (Database.java:
+    # 196-198), so parity mode defaults on; costs one tiny limit(1) probe
+    # per discovery wave
+    check_collisions: bool = True
     # B-axis: bloom URL-seen prefilter before the J5 anti-join MERGE.
     # Definitely-new discoveries skip the exact check entirely; maybe-seen
     # (incl. false positives) fall through to it — results are identical,
-    # only the J5 shuffle volume changes (SURVEY §4.2).
-    use_bloom: bool = False
+    # only the J5 shuffle volume changes (SURVEY §4.2).  Built once from the
+    # frontier, maintained incrementally per wave, sharded by
+    # pmod(origin_id, bloom_shards) for linear capacity scaling.
+    use_bloom: bool = True
     bloom_bits: int = 1 << 24
     bloom_k: int = 5
+    bloom_shards: int = 4
 
 
 class CrawlEngine:
@@ -84,10 +90,13 @@ class CrawlEngine:
         self.site = site
         self.config = config or CrawlConfig()
         self.schedules = {s.id: s for s in BUILTIN_SCHEDULES}
-        self.clock: int | None = None  # virtual time (epoch millis)
+        # virtual time (epoch millis) — restored from the committed manifest
+        # so resume-from-snapshot needs no manual clock
+        self.clock: int | None = store.manifest.get("clock")
         self._rules_empty: bool | None = None  # cached; invalidated by add_rules
         self._lineage: list[tuple] = []  # (table, op, buckets) per wave
         self._disc_caches: list[DataFrame] = []  # persisted discovery frames
+        self._bloom_bits = None  # incremental URL-seen filter (np.ndarray)
 
     def _merge(self, table: str, delta, mode: str) -> int:
         """StateStore.merge + lineage accounting."""
@@ -125,10 +134,11 @@ class CrawlEngine:
         self.store.merge("origins", existing.withColumn("crawl_policy", F.lit("CONTINUOUS")), "upsert")
         frontier_df = self.spark.createDataFrame(frontier_rows, self.store.read("frontier").schema)
         self.store.merge("frontier", frontier_df, "insert_if_absent")
-        wave = self.store.committed_wave + 1
-        self.store.commit(wave)
         if self.clock is None:
             self.clock = now
+        self.store.set_clock(self.clock)
+        wave = self.store.committed_wave + 1
+        self.store.commit(wave)
 
     # ------------------------------------------------------------ the wave
     def step(
@@ -160,11 +170,14 @@ class CrawlEngine:
         elig_all = origins.filter(
             (F.col("crawl_policy") == "CONTINUOUS") & F.col("next_visit").isNotNull()
         )
-        nv_min = elig_all.agg(F.min("next_visit").alias("m")).first()["m"]
+        # .collect() not .first(): first() = limit(1) runs 2-3 incremental
+        # jobs; a global agg always yields one row, collect is a single job
+        nv_min = elig_all.agg(F.min("next_visit").alias("m")).collect()[0]["m"]
         if nv_min is None:
             return {"idle": True, "fetched": 0}
         T = max(self.clock or 0, nv_min)
         self.clock = T
+        store.set_clock(T)  # published with this wave's commit (resume)
 
         elig = eligible_origins(origins, T)
         if k_origins is not None:
@@ -188,7 +201,7 @@ class CrawlEngine:
             F.count("*").alias("n"),
             F.countDistinct("origin_id").alias("hosts"),
             F.collect_set(F.pmod(F.col("origin_id"), F.lit(store.buckets)).cast("int")).alias("bks"),
-        ).first()
+        ).collect()[0]
         n_wave, n_hosts = stats["n"], stats["hosts"]
         wave_buckets = stats["bks"]
 
@@ -744,20 +757,41 @@ class CrawlEngine:
                 F.lit(T).alias("next_visit"),
             )
         )
-        all_new = frontier_new.unionByName(robots_locs)
+        all_new = frontier_new.unionByName(robots_locs).persist()
+        self._disc_caches.append(all_new)
         if cfg.use_bloom:
-            from .operators.seen import build_bloom, split_by_bloom
+            from .operators.seen import build_bloom_sharded, or_in_collected, split_by_bloom
+
+            def _keyed(df):
+                return df.select(
+                    F.pmod(F.col("origin_id"), F.lit(cfg.bloom_shards)).alias("shard"),
+                    F.xxhash64("origin_id", "path_id").alias("key"),
+                )
 
             cur = self.store.read_staged("frontier")
-            bits = build_bloom(
-                cur.select(F.xxhash64("origin_id", "path_id").alias("key")),
-                "key",
-                cfg.bloom_bits,
-                cfg.bloom_k,
-            )
+            if self._bloom_bits is None:
+                # one-time build over the whole frontier (engine start /
+                # snapshot resume); afterwards the filter is maintained
+                # incrementally — no per-wave full-frontier scan
+                self._bloom_bits = build_bloom_sharded(
+                    _keyed(cur), "key", "shard", cfg.bloom_shards, cfg.bloom_bits, cfg.bloom_k
+                )
             definite_new, maybe_seen = split_by_bloom(
-                self.spark, all_new, bits, cfg.bloom_bits, cfg.bloom_k
+                self.spark, all_new, self._bloom_bits, cfg.bloom_bits, cfg.bloom_k
             )
+            # OR-in this wave's candidate keys (a superset of the rows the
+            # MERGE inserts — supersets are safe: blooms only forbid false
+            # negatives).  kinds["loc"] bounds the delta: small → one
+            # driver-side collect; big → distributed treeAggregate.
+            if kinds.get("loc", 0) <= 100_000:
+                self._bloom_bits = or_in_collected(
+                    self._bloom_bits, _keyed(all_new).collect(), cfg.bloom_bits, cfg.bloom_k
+                )
+            else:
+                delta_bits = build_bloom_sharded(
+                    _keyed(all_new), "key", "shard", cfg.bloom_shards, cfg.bloom_bits, cfg.bloom_k
+                )
+                self._bloom_bits = self._bloom_bits | delta_bits
             # exact check only for the (small) maybe-seen set; FPs drop out here
             verified_new = maybe_seen.join(
                 cur.select("origin_id", "path_id"), ["origin_id", "path_id"], "left_anti"
@@ -787,8 +821,7 @@ class CrawlEngine:
             (wave_n, "visits", "append", None, None)
         ]
         self._lineage = []
-        lineage = self.spark.createDataFrame(rows, self.store.read("lineage").schema)
-        self.store.append("lineage", lineage, wave_n)
+        self.store.log_lineage(wave_n, rows)
 
     # ---------------------------------------------------------- maintenance
     def reapply_rules_to_origin(self, origin_id: int) -> int:

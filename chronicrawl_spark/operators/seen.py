@@ -56,34 +56,81 @@ def build_bloom(
 ) -> np.ndarray:
     """Build the filter distributed: one partial filter per partition
     (mapPartitions, numpy-vectorized), OR-merged with treeAggregate."""
+    return build_bloom_sharded(
+        df.withColumn("__shard", F.lit(0)), key_col, "__shard", 1, n_bits, k, depth
+    )[0]
+
+
+def build_bloom_sharded(
+    df: DataFrame,
+    key_col: str,
+    shard_col: str,
+    n_shards: int,
+    n_bits: int = 1 << 24,
+    k: int = 5,
+    depth: int = 2,
+) -> np.ndarray:
+    """Sharded distributed build: one (n_shards, n_bits/8) bit-plane.
+
+    Shard = ``pmod(origin_id, S)`` upstream; each key sets bits only in its
+    shard's plane, so total capacity scales linearly with S while the probe
+    still reads one plane.  Per-partition partial planes are OR-merged via
+    ``treeAggregate`` (depth 2) — the north_star's build shape.
+    """
     n_bytes = n_bits // 8
-    rdd = df.select(key_col).rdd.map(lambda r: r[0])
+    rdd = df.select(shard_col, key_col).rdd.map(lambda r: (r[0], r[1]))
 
     def part_build(it):
-        arr = np.zeros(n_bytes, dtype=np.uint8)
-        keys = np.fromiter(it, dtype=np.int64)
-        if keys.size:
+        arrs = np.zeros((n_shards, n_bytes), dtype=np.uint8)
+        data = list(it)
+        if data:
+            sh = np.fromiter((d[0] for d in data), dtype=np.int64)
+            keys = np.fromiter((d[1] for d in data), dtype=np.int64)
             for pos in _positions(keys, n_bits, k):
-                np.bitwise_or.at(arr, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
-        yield arr
+                np.bitwise_or.at(
+                    arrs, (sh, pos >> 3), np.uint8(1) << (pos & 7).astype(np.uint8)
+                )
+        yield arrs
 
-    zero = np.zeros(n_bytes, dtype=np.uint8)
+    zero = np.zeros((n_shards, n_bytes), dtype=np.uint8)
     return rdd.mapPartitions(part_build).treeAggregate(
         zero, lambda a, b: np.bitwise_or(a, b), lambda a, b: np.bitwise_or(a, b), depth=depth
     )
 
 
+def or_in_collected(
+    bits: np.ndarray, rows, n_bits: int, k: int
+) -> np.ndarray:
+    """Driver-side OR-in of collected (shard, key) rows — the small-delta
+    fast path (one collect job, no Python-RDD stages).  The distributed
+    ``build_bloom_sharded`` path is for deltas too big to collect."""
+    if not rows:
+        return bits
+    sh = np.fromiter((r[0] for r in rows), dtype=np.int64)
+    keys = np.fromiter((r[1] for r in rows), dtype=np.int64)
+    for pos in _positions(keys, n_bits, k):
+        np.bitwise_or.at(bits, (sh, pos >> 3), np.uint8(1) << (pos & 7).astype(np.uint8))
+    return bits
+
+
 def contains_udf(spark: SparkSession, bits: np.ndarray, n_bits: int, k: int = 5):
-    """Arrow-vectorized membership test against a broadcast filter."""
+    """Arrow-vectorized membership test against a broadcast filter.
+
+    Accepts a flat (1-shard) or (n_shards, n_bytes) plane; the returned UDF
+    takes (key, shard) series.
+    """
+    if bits.ndim == 1:
+        bits = bits[None, :]
     bc = spark.sparkContext.broadcast(bits)
 
     @F.pandas_udf("boolean")
-    def maybe_seen(keys: pd.Series) -> pd.Series:
+    def maybe_seen(keys: pd.Series, shards: pd.Series) -> pd.Series:
         arr = bc.value
         kv = keys.to_numpy(dtype=np.int64)
+        sh = shards.to_numpy(dtype=np.int64)
         out = np.ones(len(kv), dtype=bool)
         for pos in _positions(kv, n_bits, k):
-            out &= (arr[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+            out &= (arr[sh, pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
         return pd.Series(out)
 
     return maybe_seen
@@ -96,13 +143,19 @@ def split_by_bloom(
     n_bits: int = 1 << 24,
     k: int = 5,
     key_expr=None,
+    shard_expr=None,
 ):
     """(definitely_new, maybe_seen) split of candidate URL rows."""
     # built-in xxhash64 (JVM-side, seed 42) — bloom keys need uniformity,
     # not reference parity, so the native hash is the right tool here
     key_expr = key_expr if key_expr is not None else F.xxhash64("origin_id", "path_id")
+    n_shards = 1 if bits.ndim == 1 else bits.shape[0]
+    if shard_expr is None:
+        shard_expr = F.pmod(F.col("origin_id"), F.lit(n_shards)) if n_shards > 1 else F.lit(0)
     probe = contains_udf(spark, bits, n_bits, k)
-    tagged = candidates.withColumn("__maybe", probe(key_expr.cast("long")))
+    tagged = candidates.withColumn(
+        "__maybe", probe(key_expr.cast("long"), shard_expr.cast("long"))
+    )
     return tagged.filter(~F.col("__maybe")).drop("__maybe"), tagged.filter(
         F.col("__maybe")
     ).drop("__maybe")
@@ -120,10 +173,11 @@ def bloom_stats(
     every inserted key must hit; FP rate on misses must be tiny."""
     bits = build_bloom(keys, "key", n_bits, k)
     probe = contains_udf(spark, bits, n_bits, k)
+    zero = F.lit(0).cast("long")
     n_keys = keys.count()
-    hit_found = probe_hit.withColumn("m", probe(F.col("key"))).filter("m").count()
+    hit_found = probe_hit.withColumn("m", probe(F.col("key"), zero)).filter("m").count()
     n_hit = probe_hit.count()
-    miss_found = probe_miss.withColumn("m", probe(F.col("key"))).filter("m").count()
+    miss_found = probe_miss.withColumn("m", probe(F.col("key"), zero)).filter("m").count()
     n_miss = probe_miss.count()
     return spark.createDataFrame(
         [

@@ -244,7 +244,22 @@ class StateStore:
         """In-flight view: committed snapshot + this wave's staged writes."""
         return self._read_from(self._staged, table)
 
+    def set_clock(self, ms: int) -> None:
+        """Stage the engine's virtual clock; published with the wave commit
+        so snapshot resume restores it turnkey (the reference's clock is
+        implicit in its SQLite state)."""
+        self._staged["clock"] = ms
+
+    def log_lineage(self, wave: int, rows: list) -> None:
+        """Per-wave lineage rows live in the manifest (Iceberg
+        snapshot-summary analog) — queryable via ``read("lineage")`` without
+        costing a parquet write job per wave."""
+        self._staged.setdefault("lineage", []).extend(list(r) for r in rows)
+
     def _read_from(self, manifest: dict, table: str) -> DataFrame:
+        if table == "lineage":
+            rows = [tuple(r) for r in manifest.get("lineage", [])]
+            return self.spark.createDataFrame(rows, LINEAGE_SCHEMA) if rows else self._empty(LINEAGE_SCHEMA)
         if table in MUTABLE_TABLES:
             schema, _ = MUTABLE_TABLES[table]
             bmap: dict = manifest["mutable"][table]
@@ -308,13 +323,14 @@ class StateStore:
         path = os.path.join(self.root, table, f"wave={wave}")
         if table in BUCKETED_APPEND:
             out = out.withColumn("bucket", self._bucket_col(out, table))
-            # hash-repartition on bucket: ≤1 file per bucket per wave
-            (
-                out.repartition(min(self.buckets, par), "bucket")
-                .write.mode("overwrite")
-                .partitionBy("bucket")
-                .parquet(path)
-            )
+            if table == "warc_records":
+                # payload-heavy: avoid a full-body shuffle — sort within the
+                # existing partitions; ≤1 file per (task, bucket)
+                out = out.sortWithinPartitions("bucket")
+            else:
+                # narrow rows: hash-repartition → ≤1 file per bucket per wave
+                out = out.repartition(min(self.buckets, par), "bucket")
+            out.write.mode("overwrite").partitionBy("bucket").parquet(path)
             written = sorted(
                 int(d.split("=", 1)[1])
                 for d in os.listdir(path)

@@ -162,8 +162,9 @@ def test_resume_from_snapshot_mid_crawl(spark, tmp_path):
     # "crash": new store+engine resumed from the wave-3 snapshot
     store2 = StateStore(spark, str(tmp_path / "state"), buckets=8)
     store2.resume_from(wave3)
+    # no manual clock: the manifest snapshot carries the virtual clock
     engine2 = CrawlEngine(spark, store2, make_site(spark, ORIGIN), CrawlConfig())
-    engine2.clock = T0 + 60  # resumed clock = last wave ts (persisted in metrics)
+    assert engine2.clock == T0 + 60  # wave-3 ts, restored from the manifest
     engine2.run(max_waves=9, k_origins=1, per_host_k=1)
     resumed_visits = sorted(
         (r["date"], r["path_id"], r["status"]) for r in store2.read("visits").collect()
