@@ -49,27 +49,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def q_w2_wave_select(spark, sf_dir):
     """W2 (Database.java:264-269): per-host priority-queue top-k with the
     exact ordering type DESC, priority DESC NULLS LAST, depth ASC,
-    next_visit ASC (+path_id tiebreak), over a frontier derived from orders."""
+    next_visit ASC (+path_id tiebreak), over a frontier derived from orders.
+    Runs the SHIPPED operator (operators/wave.per_host_top_k) — the gate
+    certifies engine code, not an inline re-expression."""
+    from chronicrawl_spark.operators.wave import per_host_top_k
+
     o = _t(spark, sf_dir, "orders")
+    tid = F.col("o_orderkey") % 4
+    loc_type = (
+        F.when(tid == 3, "ROBOTS")
+        .when(tid == 2, "SITEMAP")
+        .when(tid == 1, "TRANSCLUSION")
+        .otherwise("PAGE")
+    )
     fr = o.select(
         F.col("o_custkey").alias("origin_id"),
         F.col("o_orderkey").alias("path_id"),
-        (F.col("o_orderkey") % 4).alias("type_id"),
+        loc_type.alias("location_type"),
         F.when(F.col("o_totalprice") > 150000, F.round("o_totalprice").cast("long")).alias("priority"),
         (F.col("o_orderkey") % 7).alias("depth"),
         _ms("o_orderdate").alias("next_visit"),
     )
-    w = Window.partitionBy("origin_id").orderBy(
-        F.col("type_id").desc(),
-        F.col("priority").desc_nulls_last(),
-        F.col("depth").asc(),
-        F.col("next_visit").asc(),
-        F.col("path_id").asc(),
-    )
-    return (
-        fr.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= 2)
-        .select("origin_id", "path_id", "type_id", "priority", "depth", "next_visit", "rn")
+    return per_host_top_k(fr, k=2).select(
+        "origin_id", "path_id", "location_type", "priority", "depth", "next_visit"
     )
 
 
@@ -77,11 +79,13 @@ SQL_W2 = """
 WITH fr AS (
   SELECT o_custkey AS origin_id, o_orderkey AS path_id,
          o_orderkey % 4 AS type_id,
+         CASE o_orderkey % 4 WHEN 3 THEN 'ROBOTS' WHEN 2 THEN 'SITEMAP'
+              WHEN 1 THEN 'TRANSCLUSION' ELSE 'PAGE' END AS location_type,
          CASE WHEN o_totalprice > 150000 THEN CAST(ROUND(o_totalprice) AS BIGINT) END AS priority,
          o_orderkey % 7 AS depth,
          epoch_ms(o_orderdate) AS next_visit
   FROM orders)
-SELECT origin_id, path_id, type_id, priority, depth, next_visit, rn
+SELECT origin_id, path_id, location_type, priority, depth, next_visit
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY origin_id ORDER BY
         type_id DESC, priority DESC NULLS LAST, depth ASC, next_visit ASC, path_id ASC) AS rn
       FROM fr) t
@@ -127,32 +131,32 @@ ORDER BY partkey
 
 def q_j6_asof_furthest(spark, sf_dir):
     """J6 quirk (Database.java:387-391): ORDER BY ABS(date-?) DESC LIMIT 1 —
-    the 'closest' lookup that actually picks the furthest; copied exactly."""
+    the 'closest' lookup that actually picks the furthest; copied exactly.
+    Runs the SHIPPED operator (sources/fetchsim.asof_prev_visit) over a
+    visits-shaped projection of lineitem."""
+    from chronicrawl_spark.sources.fetchsim import asof_prev_visit
+
+    from datetime import datetime, timezone
+
     li = _t(spark, sf_dir, "lineitem")
-    target = F.unix_millis(F.lit("1996-06-30 00:00:00").cast("timestamp"))
-    w = Window.partitionBy("l_orderkey").orderBy(
-        F.abs(_ms("l_shipdate") - target).desc(),
-        _ms("l_shipdate").desc(),
-        F.col("l_linenumber").asc(),
+    target_ms = int(datetime(1996, 6, 30, tzinfo=timezone.utc).timestamp() * 1000)
+    visits = li.select(
+        F.col("l_orderkey").alias("origin_id"),
+        F.lit(0).cast("long").alias("path_id"),
+        _ms("l_shipdate").alias("date"),
+        F.lit(200).cast("short").alias("status"),
+        F.lit("GET").alias("method"),
     )
-    return (
-        li.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col("l_orderkey").alias("orderkey"),
-            F.col("l_linenumber").cast("long").alias("linenumber"),
-            _ms("l_shipdate").alias("ship_ms"),
-        )
-        
+    return asof_prev_visit(visits, target_ms).select(
+        F.col("origin_id").alias("orderkey"), F.col("prev_date").alias("prev_ms")
     )
 
 
 SQL_J6 = """
-SELECT l_orderkey AS orderkey, CAST(l_linenumber AS BIGINT) AS linenumber,
-       epoch_ms(l_shipdate) AS ship_ms
+SELECT l_orderkey AS orderkey, epoch_ms(l_shipdate) AS prev_ms
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY
         ABS(epoch_ms(l_shipdate) - epoch_ms(TIMESTAMP '1996-06-30 00:00:00')) DESC,
-        epoch_ms(l_shipdate) DESC, l_linenumber ASC) rn
+        epoch_ms(l_shipdate) DESC) rn
       FROM lineitem) t
 WHERE rn = 1 ORDER BY orderkey
 """
@@ -277,20 +281,21 @@ WHERE rn = 1 ORDER BY brand
 
 
 def q_w3_visit_history(spark, sf_dir):
-    """W3 (Database.java:357-360): per-key newest-N history."""
+    """W3 (Database.java:357-360): per-key newest-N history — runs the
+    shipped operators/retention.keep_newest_k."""
+    from chronicrawl_spark.operators.retention import keep_newest_k
+
     li = _t(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_partkey").orderBy(
-        _ms("l_shipdate").desc(), F.col("l_orderkey").desc(), F.col("l_linenumber").desc()
-    )
-    return (
-        li.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= 3)
-        .select(
-            F.col("l_partkey").alias("partkey"),
-            F.col("l_orderkey").alias("orderkey"),
-            F.col("l_linenumber").cast("long").alias("linenumber"),
-            "rn",
-        )
+    return keep_newest_k(
+        li,
+        ["l_partkey"],
+        [_ms("l_shipdate").desc(), F.col("l_orderkey").desc(), F.col("l_linenumber").desc()],
+        k=3,
+    ).select(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").cast("long").alias("linenumber"),
+        "rn",
     )
 
 
@@ -304,19 +309,56 @@ WHERE rn <= 3
 
 
 def q_a3_retention_expiry(spark, sf_dir):
-    """A3 (Database.java:455-474): keep-newest-K retention accounting."""
+    """A3 (Database.java:455-474): keep-newest-K retention accounting — runs
+    the shipped operators/retention.expiry_counts."""
+    from chronicrawl_spark.operators.retention import expiry_counts
+
     e = _t(spark, sf_dir, "events")
-    return (
-        e.groupBy("user_id")
-        .agg(F.count("*").alias("n_total"))
-        .withColumn("n_expired", F.greatest(F.col("n_total") - 5, F.lit(0)))
-        
-    )
+    return expiry_counts(e, ["user_id"], keep=5)
 
 
 SQL_A3 = """
 SELECT user_id, COUNT(*) AS n_total, GREATEST(COUNT(*) - 5, 0) AS n_expired
 FROM events GROUP BY 1 ORDER BY user_id
+"""
+
+
+def q_w8_screenshot_recency(spark, sf_dir):
+    """W8 (Database.java:467-473): most recent screenshot per location —
+    the shipped operators/retention.newest_per_key over an events-shaped
+    screenshot log."""
+    from chronicrawl_spark.operators.retention import newest_per_key
+
+    e = _t(spark, sf_dir, "events")
+    return newest_per_key(
+        e, ["user_id"], [_ms("ts").desc(), F.col("event_id").desc()]
+    ).select("user_id", "event_id", _ms("ts").alias("ts_ms"))
+
+
+SQL_W8 = """
+SELECT user_id, event_id, epoch_ms(ts) AS ts_ms
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+        epoch_ms(ts) DESC, event_id DESC) rn FROM events) t
+WHERE rn = 1 ORDER BY user_id
+"""
+
+
+def q_a2_max_bucket(spark, sf_dir):
+    """A2 (Webapp.java:440-445): max over the A1 time buckets (chart y-axis
+    scaling)."""
+    e = _t(spark, sf_dir, "events")
+    bucket = (F.round(_ms("ts") / 3600000.0).cast("long") * 3600000).alias("bucket_ms")
+    buckets = e.select(bucket).groupBy("bucket_ms").agg(F.count("*").alias("visits"))
+    return buckets.agg(
+        F.max("visits").alias("max_visits"), F.count("*").cast("long").alias("n_buckets")
+    )
+
+
+SQL_A2 = """
+WITH b AS (SELECT CAST(ROUND(epoch_ms(ts)/3600000.0) AS BIGINT)*3600000 AS bucket_ms,
+                  COUNT(*) AS visits
+           FROM events GROUP BY 1)
+SELECT CAST(MAX(visits) AS BIGINT) AS max_visits, CAST(COUNT(*) AS BIGINT) AS n_buckets FROM b
 """
 
 
@@ -509,6 +551,39 @@ FROM p
 """
 
 
+# replay captures under both schemes (U2): fixed capture log with http and
+# https variants plus an unrelated URL that must NOT surface
+_U2_CAPTURES = [
+    ("http://example.org/page", "19960630120000", 200),
+    ("https://example.org/page", "20010101000000", 200),
+    ("http://example.org/page", "20050615083000", 404),
+    ("https://example.org/page", "20190301000000", 200),
+    ("http://other.example/x", "20010101000000", 200),
+    ("https://other.example/x", "20020202000000", 200),
+]
+
+
+def q_u2_cdx_scheme_union(spark, sf_dir):
+    """U2 (Webapp.java:160-174): a replay lookup of an http URL also
+    surfaces its https captures — two exact-match lookups unioned, ordered
+    by capture date.  Runs the shipped replay.cdx_scheme_union."""
+    from chronicrawl_spark.replay import cdx_scheme_union
+
+    cdx = spark.createDataFrame(_U2_CAPTURES, "url string, arc_date string, status int")
+    return cdx_scheme_union(cdx, "http://example.org/page")
+
+
+def _sql_u2():
+    values = ",\n  ".join(f"('{u}', '{d}', {s})" for u, d, s in _U2_CAPTURES)
+    return f"""
+WITH cdx(url, arc_date, status) AS (VALUES\n  {values})
+SELECT url, arc_date, status FROM (
+  SELECT * FROM cdx WHERE url = 'http://example.org/page'
+  UNION ALL SELECT * FROM cdx WHERE url = 'https://example.org/page')
+ORDER BY arc_date, url
+"""
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline operators (documents / embeddings)
 # --------------------------------------------------------------------------
@@ -549,20 +624,34 @@ ORDER BY doc_a, doc_b
 def q_dedup_ngram_jaccard(spark, sf_dir):
     from chronicrawl_spark.extras.dedup import ngram_jaccard_pairs
 
-    # max_df=1000: stop-gram pruning (hot shingles pair quadratically).
-    # No effect at the sf0.01 oracle scale (500 docs < 2000), keeps the
-    # candidate join bounded at bench scale — the documented scale path.
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.8, max_df=1000)
+    # LSH prefilter → exact verify (extras/dedup.py): candidates come from a
+    # 4×2 md5-minhash band join, exact Jaccard only on candidates.  The
+    # oracle below mirrors the identical md5 banding, so both engines verify
+    # the same deterministic candidate set.
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.8)
 
 
-SQL_DEDUP_NGRAM_JACCARD = """
+_NGRAM_MH_AGGS = ", ".join(f"min(md5('g{i}|' || gram)) AS mh{i}" for i in range(8))
+_NGRAM_BANDS = "\n      UNION ALL ".join(
+    f"SELECT {i} AS band, md5(mh{2 * i} || '|' || mh{2 * i + 1}) AS bucket, doc_id FROM sig"
+    for i in range(4)
+)
+SQL_DEDUP_NGRAM_JACCARD = f"""
 WITH g AS (SELECT DISTINCT doc_id, substr(text, i.i, 3) AS gram
            FROM documents d, LATERAL (SELECT unnest(range(1, GREATEST(LENGTH(d.text)-2,0)+1)) AS i) i
            WHERE LENGTH(substr(text, i.i, 3)) = 3),
+g8 AS (SELECT DISTINCT doc_id, substr(text, i.i, 8) AS gram
+       FROM documents d, LATERAL (SELECT unnest(range(1, GREATEST(LENGTH(d.text)-7,0)+1)) AS i) i
+       WHERE LENGTH(substr(text, i.i, 8)) = 8),
 sz AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY 1),
-gc AS (SELECT g.* FROM g JOIN (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) <= 1000) d USING (gram)),
-c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-      FROM gc a JOIN gc b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1,2)
+sig AS (SELECT doc_id, {_NGRAM_MH_AGGS} FROM g8 GROUP BY 1),
+b AS ({_NGRAM_BANDS}),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+c AS (SELECT doc_a, doc_b, COUNT(*) AS common
+      FROM cand JOIN g ga ON ga.doc_id = cand.doc_a
+                JOIN g gb ON gb.doc_id = cand.doc_b AND gb.gram = ga.gram
+      GROUP BY 1, 2)
 SELECT doc_a, doc_b, CAST(ROUND(common*1000000.0/(sa.sz+sb.sz-common)) AS BIGINT) AS jaccard_e6
 FROM c JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
 WHERE CAST(ROUND(common*1000000.0/(sa.sz+sb.sz-common)) AS BIGINT) >= 800000
@@ -681,6 +770,35 @@ SELECT e.vec_id,
     * 1000000) AS BIGINT) AS cos_e6
 FROM e JOIN cand ON e.vec_id = cand.vec_id, q
 ORDER BY cos_e6 DESC, e.vec_id ASC LIMIT 10
+"""
+
+
+def q_ann_multi_topk(spark, sf_dir):
+    """Multi-query ANN (bucket ⨝ bucket, per-query exact rerank) — the
+    query-set join shape a training pipeline runs; no cross join."""
+    from chronicrawl_spark.extras.similarity import ann_topk_multi
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return ann_topk_multi(e, n_queries=10, k=5)
+
+
+SQL_ANN_MULTI_TOPK = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bk AS (SELECT vec_id, CAST({_ANN_BITS} AS BIGINT) AS bucket FROM e),
+q AS (SELECT vec_id AS qid, v AS qv FROM e ORDER BY vec_id LIMIT 10),
+qb AS (SELECT q.qid, q.qv, bk.bucket AS qbucket FROM q JOIN bk ON bk.vec_id = q.qid),
+cand AS (SELECT qb.qid, qb.qv, bk.vec_id FROM bk JOIN qb ON bk.bucket = qb.qbucket),
+scored AS (SELECT qid, e.vec_id,
+  CAST(ROUND(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*qv[i]))
+    / (sqrt(list_sum(list_transform(v, x -> x*x))) * sqrt(list_sum(list_transform(qv, x -> x*x))))
+    * 1000000) AS BIGINT) AS cos_e6
+  FROM cand JOIN e ON e.vec_id = cand.vec_id)
+SELECT qid, vec_id, cos_e6, rn
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_e6 DESC, vec_id ASC) AS rn
+      FROM scored) t
+WHERE rn <= 5 ORDER BY qid, rn
 """
 
 
@@ -863,6 +981,73 @@ def q_bloom_urlseen(spark, sf_dir):
     return bloom_stats(spark, keys, probe_hit, probe_miss)
 
 
+def q_bloom_equivalence(spark, sf_dir):
+    """Bloom URL-seen equivalence (north_star component): the same fixture
+    crawl with and without the bloom prefilter must produce identical
+    frontiers (URL-seen sets) and visit traces.  Returns a one-row summary
+    the driver can row-check; the pairwise equality is asserted in
+    tests/test_wave_ops.py::test_bloom_enabled_crawl_identical too."""
+    from chronicrawl_spark.crawl import CrawlConfig, CrawlEngine
+    from chronicrawl_spark.fixtures import test_server_site
+    from chronicrawl_spark.tables import StateStore
+
+    def crawl(use_bloom: bool):
+        tmp = tempfile.mkdtemp(prefix=f"bloomeq_{use_bloom}_")
+        store = StateStore(spark, os.path.join(tmp, "state"), buckets=4)
+        eng = CrawlEngine(
+            spark, store, test_server_site(spark),
+            CrawlConfig(use_bloom=use_bloom, bloom_shards=2),
+        )
+        eng.add_seeds(["http://test.example"], now=1_600_000_000_000)
+        eng.run(max_waves=9, k_origins=1, per_host_k=1)
+        frontier = {
+            (r["origin_id"], r["path_id"]) for r in store.read("frontier").collect()
+        }
+        visits = sorted(
+            (r["date"], r["path_id"], r["status"]) for r in store.read("visits").collect()
+        )
+        return frontier, visits
+
+    f_bloom, v_bloom = crawl(True)
+    f_plain, v_plain = crawl(False)
+    return spark.createDataFrame(
+        [(len(f_bloom), len(f_plain), f_bloom == f_plain, v_bloom == v_plain)],
+        "n_frontier_bloom long, n_frontier_plain long, urlseen_equal boolean, visits_equal boolean",
+    )
+
+
+def q_j9_record_fetch(spark, sf_dir):
+    """J9 (Webapp.java:315-330, Storage.java:157-182): WARC record point
+    lookup for replay — crawls the fixture, resolves the robots.txt visit's
+    warc_id, fetches the record bucket-pruned by origin, verifies payload
+    identity against the stored digest."""
+    from chronicrawl_spark.crawl import CrawlConfig, CrawlEngine
+    from chronicrawl_spark.fixtures import test_server_site
+    from chronicrawl_spark.replay import fetch_record
+    from chronicrawl_spark.tables import StateStore
+
+    tmp = tempfile.mkdtemp(prefix="chronicrawl_j9_")
+    store = StateStore(spark, os.path.join(tmp, "state"), buckets=4)
+    engine = CrawlEngine(spark, store, test_server_site(spark), CrawlConfig())
+    engine.add_seeds(["http://test.example"], now=1_600_000_000_000)
+    engine.run(max_waves=3, k_origins=1, per_host_k=1)
+    v = (
+        store.read("visits")
+        .filter(F.col("warc_id").isNotNull())
+        .orderBy("date")
+        .limit(1)
+        .collect()[0]
+    )
+    rec = fetch_record(store, bytes(v["warc_id"]), origin_id=v["origin_id"])
+    return rec.select(
+        "record_type",
+        "url",
+        "date",
+        (F.unhex(F.sha1(F.col("payload"))) == F.col("payload_digest")).alias("digest_ok"),
+        (F.col("date") == F.lit(v["date"])).alias("date_ok"),
+    )
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -884,8 +1069,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j3_cdx_star": q_j3_cdx_star,
         "a4_longest_rule": q_a4_longest_rule,
         "w3_visit_history": q_w3_visit_history,
+        "a2_max_bucket": q_a2_max_bucket,
         "a3_retention_expiry": q_a3_retention_expiry,
+        "w8_screenshot_recency": q_w8_screenshot_recency,
         "u1_merged_visits": q_u1_merged_visits,
+        "u2_cdx_scheme_union": q_u2_cdx_scheme_union,
         "c12_politeness": q_c12_politeness,
         "c10_changefreq": q_c10_changefreq,
         "c11_aimd": q_c11_aimd,
@@ -901,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_dup_pairs": q_embed_dup_pairs,
         "embed_cosine_topk": q_embed_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_multi_topk": q_ann_multi_topk,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
         "token_count": q_token_count,
@@ -910,6 +1099,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode_verify": q_image_decode_verify,
         "schedule_next_fire": q_schedule_next_fire,
         "bloom_urlseen": q_bloom_urlseen,
+        "bloom_equivalence": q_bloom_equivalence,
+        "j9_record_fetch": q_j9_record_fetch,
     }
 
 
@@ -925,8 +1116,11 @@ def oracle_sql() -> dict[str, str]:
         "j3_cdx_star": SQL_J3,
         "a4_longest_rule": SQL_A4,
         "w3_visit_history": SQL_W3,
+        "a2_max_bucket": SQL_A2,
         "a3_retention_expiry": SQL_A3,
+        "w8_screenshot_recency": SQL_W8,
         "u1_merged_visits": SQL_U1,
+        "u2_cdx_scheme_union": _sql_u2(),
         "c12_politeness": SQL_C12,
         "c10_changefreq": SQL_C10,
         "c11_aimd": SQL_C11,
@@ -941,11 +1135,12 @@ def oracle_sql() -> dict[str, str]:
         "embed_dup_pairs": SQL_EMBED_DUPS,
         "embed_cosine_topk": SQL_EMBED_COSINE_TOPK,
         "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+        "ann_multi_topk": SQL_ANN_MULTI_TOPK,
         "text_langid": _sql_langid(),
         "text_quality": SQL_TEXT_QUALITY,
         "token_count": SQL_TOKEN_COUNT,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         # crawl_fixture_trace / image_decode_verify / schedule_next_fire /
-        # bloom_urlseen: intentionally omitted (non-SQL-expressible pipeline
-        # components; rows-only check)
+        # bloom_urlseen / bloom_equivalence / j9_record_fetch: intentionally
+        # omitted (non-SQL-expressible pipeline components; rows-only check)
     }

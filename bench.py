@@ -36,6 +36,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "embed_cosine_topk",
     "ann_lsh_topk",
+    "ann_multi_topk",
     "text_quality",
     "token_count",
     "doc_fingerprint",

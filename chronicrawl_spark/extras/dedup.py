@@ -102,32 +102,79 @@ def char_ngram_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8, max_df: int = 400) -> DataFrame:
-    """Char-n-gram Jaccard near-dup pairs (same shape as word variant)."""
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    sig_n: int = 8,
+) -> DataFrame:
+    """Char-n-gram Jaccard near-dup pairs: **LSH prefilter → exact verify**.
+
+    The old shape (shingle self-join) is quadratic within hot grams; this is
+    the scale path: MinHash signatures → banded bucket join generates
+    candidates (never all-pairs), then exact n-gram Jaccard is computed ONLY
+    for candidates via a JVM-side ``array_intersect`` of the per-doc gram
+    sets.
+
+    Signatures hash ``sig_n``-char shingles (8 by default), NOT the verify
+    n-grams: a 3-char gram space is so small that every long document
+    contains the globally-minimal gram and all minhashes collide — buckets
+    degenerate to all-pairs (measured: 21 s → timeout at sf0.1).  8-char
+    shingles are the standard text-dedup choice; near-identical documents
+    still share them.  Both stages are deterministic md5 and the DuckDB
+    oracle mirrors them bit-for-bit, so the gate compares identical sets.
+    """
     g = char_ngram_shingles(docs, n)
-    sizes = g.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    df_cap = g.groupBy("gram").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df)
-    g = g.join(df_cap.select("gram"), "gram", "inner")
-    a, b = g.alias("a"), g.alias("b")
-    common = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("common"))
+    gs = char_ngram_shingles(docs, sig_n)
+    k = bands * rows_per_band
+    sig = gs.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"g{i}|"), F.col("gram")))).alias(f"mh{i}")
+            for i in range(k)
+        ]
     )
-    out = (
-        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+    band_frames = [
+        sig.select(
+            "doc_id",
+            F.lit(i).alias("band"),
+            F.md5(
+                F.concat_ws("|", *[f"mh{rows_per_band * i + r}" for r in range(rows_per_band)])
+            ).alias("bucket"),
+        )
+        for i in range(bands)
+    ]
+    allb = band_frames[0]
+    for bf in band_frames[1:]:
+        allb = allb.unionByName(bf)
+    x, y = allb.alias("x"), allb.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    garr = g.groupBy("doc_id").agg(
+        F.collect_set("gram").alias("grams"), F.count("*").alias("sz")
+    )
+    ga = garr.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"), F.col("sz").alias("sz_a"))
+    gb = garr.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"), F.col("sz").alias("sz_b"))
+    common = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    return (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
         .withColumn(
             "jaccard_e6",
-            F.round(
-                F.col("common") * 1000000.0 / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
-            ).cast("long"),
+            F.round(common * 1000000.0 / (F.col("sz_a") + F.col("sz_b") - common)).cast("long"),
         )
         .filter(F.col("jaccard_e6") >= int(threshold * 1_000_000))
         .select("doc_a", "doc_b", "jaccard_e6")
-
     )
-    return out
 
 
 MINHASH_SEEDS = [f"s{i}" for i in range(6)]

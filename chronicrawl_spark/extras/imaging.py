@@ -1,4 +1,4 @@
-"""Image payload axis: pure-numpy codec, perceptual hash, PSNR verification.
+"""Image payload axis: pure-numpy codecs, perceptual hash, PSNR verification.
 
 The driver's ``input_hint`` makes fetch payloads image+caption pairs with a
 per-row invariant: decoded-pixel allclose (PSNR ≥ 40 dB for lossy formats)
@@ -6,7 +6,11 @@ and caption equality.  The sandbox has **no imaging libraries** (no PIL), so:
 
 - ``bmp`` (24-bit, uncompressed) is implemented fully — a real, lossless,
   vectorized numpy codec used end-to-end in tests and the crawl pipeline.
-- ``jpeg``/``gif``/``png`` decode is **STUBBED**: ``decode_image`` raises
+- ``png`` (8-bit truecolor RGB/RGBA, non-interlaced) is implemented from
+  the public PNG spec with stdlib ``zlib``: chunk framing + CRC, all five
+  scanline filters on decode, filter-0 encode — a real lossless compressed
+  format in the pipeline.
+- ``jpeg``/``gif`` decode is **STUBBED**: ``decode_image`` raises
   ``NotImplementedError`` for them.  The Spark-side plumbing (binary
   columns, Arrow batches, UDF signatures, partitioning) is identical for
   every format, so swapping in PIL/libvips on a real cluster is a one-line
@@ -19,6 +23,7 @@ Arrow-batched pandas UDFs — no per-row Python in the Spark plan.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -79,13 +84,122 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return rgb[::-1] if flip else rgb
 
 
+# ------------------------------------------------------------------ PNG codec
+# From the public PNG specification (RFC 2083 / W3C PNG): 8-byte signature,
+# length-type-data-CRC chunks, IDAT = zlib stream of filter-byte-prefixed
+# scanlines.  Supports 8-bit truecolor (type 2) and truecolor+alpha (type 6),
+# non-interlaced; decode handles all five filters, encode emits filter 0.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(px: np.ndarray) -> bytes:
+    """8-bit truecolor PNG, filter 0 per scanline, single IDAT."""
+    h, w, c = px.shape
+    assert c in (3, 4)
+    color_type = 2 if c == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), px.reshape(h, w * c)], axis=1
+    ).tobytes()
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa = np.abs(p - a)
+    pb = np.abs(p - b)
+    pc = np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)).astype(np.uint8)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode non-interlaced 8-bit truecolor PNG (RGB returned; alpha
+    dropped).  Verifies signature and per-chunk CRCs."""
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = len(_PNG_SIG)
+    idat = []
+    w = h = bpp = None
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        typ = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + ln)
+        if zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {typ!r}")
+        if typ == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
+            if depth != 8 or color not in (2, 6) or comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError("only 8-bit truecolor non-interlaced PNG supported")
+            bpp = 3 if color == 2 else 4
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        raise ValueError("bad IDAT length")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1)
+        if ft == 0:
+            cur = line.copy()
+        elif ft == 2:  # Up
+            cur = line + prev
+        elif ft == 1:  # Sub: per-lane prefix sum
+            lanes = line.reshape(w, bpp).astype(np.uint64)
+            cur = np.cumsum(lanes, axis=0).astype(np.uint8).reshape(stride)
+        else:  # Average (3) / Paeth (4): sequential in x, vector over lanes
+            cur = np.zeros(stride, dtype=np.uint8)
+            lanes_f = line.reshape(w, bpp)
+            lanes_p = prev.reshape(w, bpp)
+            lanes_c = cur.reshape(w, bpp)
+            left = np.zeros(bpp, dtype=np.uint8)
+            upleft = np.zeros(bpp, dtype=np.uint8)
+            for x in range(w):
+                if ft == 3:
+                    pred = ((left.astype(np.int16) + lanes_p[x]) // 2).astype(np.uint8)
+                else:
+                    pred = _paeth(left, lanes_p[x], upleft)
+                lanes_c[x] = lanes_f[x] + pred
+                left = lanes_c[x]
+                upleft = lanes_p[x]
+        out[y] = cur
+        prev = cur
+    px = out.reshape(h, w, bpp)
+    return px[:, :, :3].copy()
+
+
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
-    """Format dispatch.  bmp is real; jpeg/png/gif are STUBS in this sandbox
-    (no imaging libs) — on a cluster, ship PIL via --archives and replace the
-    raise with ``PIL.Image.open``."""
+    """Format dispatch.  bmp and png are real from-scratch codecs; jpeg/gif
+    are STUBS in this sandbox (no imaging libs) — on a cluster, ship PIL via
+    --archives and replace the raise with ``PIL.Image.open``."""
     f = (fmt or "").lower()
     if f == "bmp":
         return decode_bmp(data)
+    if f == "png":
+        return decode_png(data)
     raise NotImplementedError(f"decode for {fmt!r} is stubbed in the sandbox (no imaging libs)")
 
 

@@ -70,6 +70,51 @@ def lsh_buckets(embeddings: DataFrame, n_bits: int = N_BITS) -> DataFrame:
     return out.select("vec_id", bucket.alias("bucket"))
 
 
+def ann_topk_multi(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 5, n_bits: int = N_BITS
+) -> DataFrame:
+    """Multi-query ANN — the shape a training-data pipeline actually runs:
+    a query SET joins the bucketed corpus (bucket ⨝ bucket, no cross join),
+    exact cosine rerank per query via one window.
+
+    The query set is deterministic (n_queries smallest vec_ids) so the
+    DuckDB oracle derives the identical queries.  The query side is tiny →
+    broadcast: the corpus never shuffles for the candidate join; only the
+    per-bucket candidates shuffle for the per-query top-k window.
+    """
+    from pyspark.sql import Window
+
+    buckets = lsh_buckets(embeddings, n_bits)
+    qids = (
+        embeddings.orderBy("vec_id")
+        .limit(n_queries)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    )
+    qbuckets = qids.join(buckets, qids["qid"] == buckets["vec_id"]).select(
+        "qid", "qvec", F.col("bucket").alias("qbucket")
+    )
+    cand = buckets.join(
+        F.broadcast(qbuckets), buckets["bucket"] == F.col("qbucket")
+    ).select("qid", "qvec", "vec_id")
+    scored = cand.join(embeddings, "vec_id").select(
+        "qid",
+        "vec_id",
+        F.round(
+            _dot(F.col("embedding"), F.col("qvec"))
+            / (_norm(F.col("embedding")) * _norm(F.col("qvec")))
+            * 1e6
+        )
+        .cast("long")
+        .alias("cos_e6"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_e6").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", "cos_e6", "rn")
+    )
+
+
 def ann_topk(embeddings: DataFrame, k: int = 10, n_bits: int = N_BITS) -> DataFrame:
     """ANN: candidates = same LSH bucket as the query → exact rerank.
 

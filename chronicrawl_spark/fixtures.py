@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .extras.imaging import encode_bmp, make_test_image, phash64
+from .extras.imaging import encode_bmp, encode_png, make_test_image, phash64
 from .functions.hashing import hash_str
 
 SITE_SCHEMA = T.StructType(
@@ -81,14 +81,16 @@ IMAGES_SCHEMA = T.StructType(
 
 
 def make_images(spark: SparkSession, n: int = 8, w: int = 32, h: int = 24) -> DataFrame:
-    """Deterministic image+caption table (input_hint shape).  Encoded as BMP
-    (lossless, pure-numpy codec — no imaging libs in the sandbox; the
-    jpeg/gif decode path is stubbed, see extras/imaging.py)."""
+    """Deterministic image+caption table (input_hint shape).  Rows alternate
+    BMP and PNG — both lossless from-scratch codecs (extras/imaging.py);
+    jpeg/gif decode stays stubbed (no imaging libs in the sandbox)."""
     rows = []
     for i in range(n):
         px = make_test_image(w, h, seed=i)
+        fmt = "png" if i % 2 else "bmp"
+        data = encode_png(px) if fmt == "png" else encode_bmp(px)
         rows.append(
-            (f"img{i:04d}", encode_bmp(px), w, h, "bmp", f"caption for image {i}", phash64(px))
+            (f"img{i:04d}", data, w, h, fmt, f"caption for image {i}", phash64(px))
         )
     return spark.createDataFrame(rows, IMAGES_SCHEMA)
 

@@ -29,7 +29,9 @@ def get_spark(
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
-        shuffle_partitions = cpus
+        # 2× cores: AQE coalesces excess partitions for free, but a shuffle
+        # planned with too few can never use the cores (scaling ceiling)
+        shuffle_partitions = 2 * cpus
     builder = (
         SparkSession.builder.master(master or f"local[{cpus}]")
         .appName(app_name)
@@ -41,13 +43,21 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.sql.parquet.compression.codec", "zstd")
+        # snappy, not zstd: state buckets are rewritten every wave (hot
+        # data) — encode speed dominates size; zstd encode was a measured
+        # non-scaling cost in the N→4N profile
+        .config("spark.sql.parquet.compression.codec", "snappy")
         # dynamic partition overwrite: state-table commits rewrite only the
         # hash buckets a wave touched (Iceberg-MERGE analog, see tables.py)
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # state-table bucket files are ~10-30 MB zstd; the 128 MB default
+        # packs several per input split and caps scan parallelism below the
+        # core count — the N→4N profile showed 5-task scans on 16 cores
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(32 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -329,7 +329,7 @@ class StateStore:
                 out = out.sortWithinPartitions("bucket")
             else:
                 # narrow rows: hash-repartition → ≤1 file per bucket per wave
-                out = out.repartition(min(self.buckets, par), "bucket")
+                out = out.repartition(self.buckets, "bucket")
             out.write.mode("overwrite").partitionBy("bucket").parquet(path)
             written = sorted(
                 int(d.split("=", 1)[1])
@@ -473,8 +473,10 @@ class StateStore:
         self._staged["next_version"][table] = version + 1
         out = merged.withColumn("bucket", F.pmod(F.col("origin_id"), F.lit(self.buckets)).cast("int"))
         target = os.path.join(self.root, table, f"v{version}")
+        # one write partition per touched bucket: 32 tasks keep 16+ cores
+        # busy; capping at defaultParallelism starved the 4N cluster
         (
-            out.repartition(max(1, min(len(touched), self.spark.sparkContext.defaultParallelism)), "bucket")
+            out.repartition(max(1, len(touched)), "bucket")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(target)

@@ -30,7 +30,11 @@ def test_image_crawl_end_to_end(spark, tmp_path):
     img_visits = [r for r in v if r["path"].startswith("/img/")]
     assert len(img_visits) == 4
     assert all(r["status"] == 200 for r in img_visits)
-    assert all(r["content_type"] == "image/bmp" for r in img_visits)
+    # fixture alternates the two real codecs (bmp even, png odd ids)
+    assert all(
+        r["content_type"] == "image/" + r["path"].rsplit(".", 1)[1] for r in img_visits
+    )
+    assert {r["content_type"] for r in img_visits} == {"image/bmp", "image/png"}
     # images were discovered as TRANSCLUSIONs from the gallery pages
     assert all(r["location_type"] == "TRANSCLUSION" for r in img_visits)
 

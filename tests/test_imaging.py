@@ -1,12 +1,19 @@
-"""Image payload axis: BMP codec round-trip, phash, PSNR invariants."""
+"""Image payload axis: BMP/PNG codec round-trips, phash, PSNR invariants."""
+
+import struct
+import zlib
 
 import numpy as np
 import pytest
 
 from chronicrawl_spark.extras.imaging import (
+    _PNG_SIG,
+    _png_chunk,
     decode_bmp,
     decode_image,
+    decode_png,
     encode_bmp,
+    encode_png,
     hamming64,
     make_test_image,
     phash64,
@@ -43,6 +50,71 @@ def test_phash_properties():
     assert hamming64(ha, phash64(a2)) <= 4
     # signed int64 range (storable in a Spark LongType)
     assert -(1 << 63) <= ha < (1 << 63)
+
+
+def test_png_roundtrip_exact():
+    for w, h, seed in [(32, 24, 0), (33, 17, 3), (1, 1, 7), (64, 64, 42)]:
+        px = make_test_image(w, h, seed)
+        out = decode_png(encode_png(px))
+        assert out.shape == px.shape
+        assert np.array_equal(out, px)
+
+
+def test_png_rgba_and_crc():
+    px = make_test_image(16, 8, 2)
+    rgba = np.concatenate([px, np.full((8, 16, 1), 200, dtype=np.uint8)], axis=2)
+    out = decode_png(encode_png(rgba))
+    assert np.array_equal(out, px)  # alpha dropped
+    data = bytearray(encode_png(px))
+    data[40] ^= 0xFF  # corrupt an IDAT byte → CRC must catch it
+    with pytest.raises(ValueError):
+        decode_png(bytes(data))
+
+
+def _png_with_filters(px, filters):
+    """Build a PNG applying the given per-row filter types (test-side
+    filterer, the inverse of the decoder's unfilterer)."""
+    h, w, _ = px.shape
+    bpp = 3
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.uint8)
+    for y in range(h):
+        cur = px[y].reshape(w * bpp)
+        ft = filters[y % len(filters)]
+        raw.append(ft)
+        if ft == 0:
+            filt = cur.copy()
+        elif ft == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, dtype=np.uint8), cur[:-bpp]])
+            filt = cur - left
+        elif ft == 2:  # Up
+            filt = cur - prev
+        elif ft == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, dtype=np.uint8), cur[:-bpp]])
+            filt = cur - ((left.astype(np.int16) + prev) // 2).astype(np.uint8)
+        else:  # Paeth
+            left = np.concatenate([np.zeros(bpp, dtype=np.uint8), cur[:-bpp]])
+            upleft = np.concatenate([np.zeros(bpp, dtype=np.uint8), prev[:-bpp]])
+            p = left.astype(np.int16) + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)).astype(np.uint8)
+            filt = cur - pred
+        raw.extend(filt.tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_all_filter_types_decode():
+    px = make_test_image(21, 10, 11)
+    for filters in ([1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        out = decode_png(_png_with_filters(px, filters))
+        assert np.array_equal(out, px), f"filters {filters}"
 
 
 def test_decode_stub_is_explicit():
