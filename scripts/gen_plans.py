@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Regenerate docs/PLANS.txt — the physical plans the plan-regression tests
+pin (pushdown, pruning, broadcast shapes, single-shuffle windows)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+QUERIES = [
+    "f9_pushdown_scan",
+    "w2_wave_select",
+    "j3_cdx_star",
+    "j5_urlseen_antijoin",
+    "j6_asof_furthest",
+    "dedup_ngram_jaccard",
+    "ann_multi_topk",
+]
+
+
+def main():
+    from chronicrawl_spark.plans.inspect import formatted_plan
+    from chronicrawl_spark.session import get_spark
+
+    import __spark_entry__ as em
+
+    spark = get_spark("gen-plans", cpus=8)
+    sf = "/root/testdata/sf0.01"
+    out = ["Physical plans captured via .explain('formatted') — regression-tested in tests/test_plans.py\n"]
+    q = em.queries()
+    for name in QUERIES:
+        out.append(name)
+        out.append(formatted_plan(q[name](spark, sf)))
+        out.append("")
+
+    # the engine's own wave-selection path
+    import tempfile
+
+    from chronicrawl_spark.fixtures import synthetic_frontier
+    from chronicrawl_spark.operators.wave import select_wave
+    from chronicrawl_spark.tables import StateStore
+
+    store = StateStore(spark, tempfile.mkdtemp() + "/state", buckets=8)
+    origins, frontier = synthetic_frontier(spark, 50, 40, 1_600_000_000_000)
+    store.merge("origins", origins, "upsert")
+    store.merge("frontier", frontier, "upsert")
+    store.commit(0)
+    wave = select_wave(
+        store.read("frontier"), store.read("origins"), store.read("sitemap_entries"),
+        wave_ts=1_600_000_000_000, k=2,
+    )
+    out.append("engine_select_wave")
+    out.append(formatted_plan(wave))
+    with open(os.path.join(REPO, "docs", "PLANS.txt"), "w") as f:
+        f.write("\n".join(out))
+    print("wrote docs/PLANS.txt")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
