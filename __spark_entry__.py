@@ -981,6 +981,34 @@ def q_bloom_urlseen(spark, sf_dir):
     return bloom_stats(spark, keys, probe_hit, probe_miss)
 
 
+def q_text_diff(spark, sf_dir):
+    """C19 (Webapp.java:179-207, DiffMatchPatch.java): word-level diff of
+    two captures of a page — Arrow-batched difflib opcodes + summary stats.
+    Rows-only (no SQL diff exists); fixtures are deterministic edited pairs
+    from the documents table."""
+    from chronicrawl_spark.extras.textdiff import diff_captures
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+    # deterministic "new capture": drop the first word, append a marker
+    pairs = docs.select(
+        "doc_id",
+        F.col("text").alias("old_text"),
+        F.concat_ws(
+            " ",
+            F.array_join(F.slice(F.split(F.col("text"), " "), 2, 1_000_000), " "),
+            F.lit("appended-edit"),
+        ).alias("new_text"),
+    )
+    out = diff_captures(pairs)
+    return out.select(
+        "doc_id",
+        "words_added",
+        "words_removed",
+        "unchanged_words",
+        F.size("diff").alias("n_ops"),
+    )
+
+
 def q_bloom_equivalence(spark, sf_dir):
     """Bloom URL-seen equivalence (north_star component): the same fixture
     crawl with and without the bloom prefilter must produce identical
@@ -1101,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_urlseen": q_bloom_urlseen,
         "bloom_equivalence": q_bloom_equivalence,
         "j9_record_fetch": q_j9_record_fetch,
+        "text_diff": q_text_diff,
     }
 
 

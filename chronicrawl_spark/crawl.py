@@ -229,10 +229,11 @@ class CrawlEngine:
         # 4× tiny tasks / output files
         exch = exch.coalesce(self.spark.sparkContext.defaultParallelism).localCheckpoint(eager=True)
 
-        self._append_visits_and_warc(exch, T)
         n_fetched = n_wave  # one visit row per wave row by construction
 
-        # build all mutable-table deltas lazily, then ONE merge per table
+        # build all mutable-table deltas lazily, then ONE merge per table.
+        # Every delta's plan freezes its staged-snapshot file list at
+        # construction time, so the sinks below are independent.
         frontier_updates = self._frontier_visit_updates(exch, T)
         origin_updates = self._origin_updates(exch, wave, T)
         sm_rows, frontier_new, new_origins = self._discover(exch, T)
@@ -241,15 +242,24 @@ class CrawlEngine:
         if new_origins is not None:
             o_delta = o_delta.unionByName(new_origins.withColumn("__tag", F.lit("new_origin")))
         o_delta = o_delta.unionByName(parked_rows.select(*o_delta.columns))
-        self._merge("origins", o_delta, "upsert")
-        n_parked = store.last_merge_stats["rows_by_tag"].get("parked", 0)
 
+        # the five sinks write DIFFERENT tables and the store is
+        # thread-safe, but they run SEQUENTIALLY on purpose: measured at
+        # local-cluster 1→4 executors, overlapping them speeds up the
+        # under-subscribed 1-executor case (216→181 s) while slowing the
+        # saturated 4-executor case (92→118 s, memory/shuffle contention) —
+        # net scaling efficiency drops 0.585→0.384.  On a real cluster with
+        # headroom, a ThreadPoolExecutor around these four calls is the
+        # one-line change.
+        self._append_visits_and_warc(exch, T)
+        ost = store.merge_mixed("origins", o_delta, None)
         if sm_rows is not None:
             self._merge("sitemap_entries", sm_rows, "upsert")
-
-        st = store.merge_mixed("frontier", frontier_updates, frontier_new)
-        self._lineage.append(("frontier", "mixed", st["buckets"]))
-        n_disc = st["insert_rows"]
+        fst = store.merge_mixed("frontier", frontier_updates, frontier_new)
+        self._lineage.append(("origins", "upsert", ost["buckets"]))
+        self._lineage.append(("frontier", "mixed", fst["buckets"]))
+        n_parked = ost["rows_by_tag"].get("parked", 0)
+        n_disc = fst["insert_rows"]
         self._release_discovery_caches()
 
         self._append_metrics(exch, T)

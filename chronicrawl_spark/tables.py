@@ -32,6 +32,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -158,11 +159,26 @@ MUTABLE_TABLES = {
     "sitemap_entries": (SITEMAP_ENTRIES_SCHEMA, ["origin_id", "path_id"]),
     "rules": (RULES_SCHEMA, ["origin_id", "pattern"]),
 }
+# S11 (Database.java:455-474, Exchange.java:198-201): screenshot blobs per
+# visited location.  The producer in the reference is the headless browser
+# (S8, out of sandbox scope); the sink + newest-K expiry + W8 recency view
+# are fully implemented over this table (screenshots.py).
+SCREENSHOTS_SCHEMA = T.StructType(
+    [
+        T.StructField("origin_id", T.LongType(), False),
+        T.StructField("path_id", T.LongType(), False),
+        T.StructField("date", T.LongType(), False),
+        T.StructField("screenshot", T.BinaryType(), True),
+        T.StructField("thumbnail", T.BinaryType(), True),
+    ]
+)
+
 APPEND_TABLES = {
     "visits": VISITS_SCHEMA,
     "warc_records": WARC_RECORDS_SCHEMA,
     "metrics": METRICS_SCHEMA,
     "lineage": LINEAGE_SCHEMA,
+    "screenshots": SCREENSHOTS_SCHEMA,
 }
 
 # Append tables also bucketed by pmod(origin_id, B) — the Spark analog of the
@@ -170,7 +186,7 @@ APPEND_TABLES = {
 # per-wave J6/J7 history lookups scan only the wave's buckets instead of the
 # whole table.  Manifest records which buckets each wave wrote (Iceberg
 # manifest-file analog) so reads never list directories at scale.
-BUCKETED_APPEND = {"visits", "warc_records"}
+BUCKETED_APPEND = {"visits", "warc_records", "screenshots"}
 
 
 class StateStore:
@@ -185,6 +201,9 @@ class StateStore:
         # staged (uncommitted) manifest mutations for the in-flight wave
         self._staged = json.loads(json.dumps(self.manifest))
         self.last_merge_stats: dict = {}
+        # staged-manifest mutations may come from concurrent sink threads
+        # (the wave runs independent table writes in parallel)
+        self._mlock = threading.Lock()
 
     # ------------------------------------------------------------ manifest
     def _manifest_path(self, wave: int | None = None) -> str:
@@ -281,7 +300,8 @@ class StateStore:
         """Append-table scan, optionally pruned to a bucket subset (J6/J7
         read only the buckets the current wave touches)."""
         schema = APPEND_TABLES[table]
-        waves = manifest["append"][table]
+        # .get: manifests written before a table existed simply read empty
+        waves = manifest["append"].get(table, [])
         if not waves:
             return self._empty(schema)
         bmap = manifest.get("append_buckets", {}).get(table, {})
@@ -323,7 +343,7 @@ class StateStore:
         path = os.path.join(self.root, table, f"wave={wave}")
         if table in BUCKETED_APPEND:
             out = out.withColumn("bucket", self._bucket_col(out, table))
-            if table == "warc_records":
+            if table in ("warc_records", "screenshots"):
                 # payload-heavy: avoid a full-body shuffle — sort within the
                 # existing partitions; ≤1 file per (task, bucket)
                 out = out.sortWithinPartitions("bucket")
@@ -336,15 +356,31 @@ class StateStore:
                 for d in os.listdir(path)
                 if d.startswith("bucket=")
             )
-            self._staged.setdefault("append_buckets", {}).setdefault(table, {})[str(wave)] = written
+            with self._mlock:
+                self._staged.setdefault("append_buckets", {}).setdefault(table, {})[str(wave)] = written
         else:
             # cap output tasks/files: upstream unions multiply partitions
             if out.rdd.getNumPartitions() > par:
                 out = out.coalesce(par)
             out.write.mode("overwrite").parquet(path)  # idempotent on wave retry
-        staged = self._staged["append"][table]
-        if wave not in staged:
-            staged.append(wave)
+        with self._mlock:
+            staged = self._staged["append"].setdefault(table, [])
+            if wave not in staged:
+                staged.append(wave)
+
+    def replace_append(self, table: str, df: DataFrame, wave: int) -> None:
+        """Maintenance rewrite of an append table (retention expiry): write
+        ``df`` as the table's single snapshot wave, dropping all prior wave
+        dirs from the manifest (Iceberg rewrite-data-files analog)."""
+        self.append(table, df, wave)
+        with self._mlock:
+            self._staged["append"][table] = [wave]
+            ab = self._staged.get("append_buckets", {}).get(table)
+            if ab is not None:
+                keep = ab.get(str(wave))
+                ab.clear()
+                if keep is not None:
+                    ab[str(wave)] = keep
 
     def merge(
         self,
@@ -430,12 +466,13 @@ class StateStore:
         if not touched:
             delta.unpersist()
             return stats
-        bmap: dict = self._staged["mutable"][table]
-        by_ver: dict[int, list[str]] = {}
-        for b in touched:
-            sb = str(b)
-            if sb in bmap:
-                by_ver.setdefault(bmap[sb], []).append(sb)
+        with self._mlock:
+            bmap: dict = self._staged["mutable"][table]
+            by_ver: dict[int, list[str]] = {}
+            for b in touched:
+                sb = str(b)
+                if sb in bmap:
+                    by_ver.setdefault(bmap[sb], []).append(sb)
         if by_ver:
             paths = [
                 os.path.join(self.root, table, f"v{v}", f"bucket={b}")
@@ -469,8 +506,9 @@ class StateStore:
             # first-wins within the delta itself (duplicate discoveries in one wave)
             merged = merged.unionByName(new_rows.dropDuplicates(keys))
 
-        version = self._staged["next_version"][table]
-        self._staged["next_version"][table] = version + 1
+        with self._mlock:
+            version = self._staged["next_version"][table]
+            self._staged["next_version"][table] = version + 1
         out = merged.withColumn("bucket", F.pmod(F.col("origin_id"), F.lit(self.buckets)).cast("int"))
         target = os.path.join(self.root, table, f"v{version}")
         # one write partition per touched bucket: 32 tasks keep 16+ cores
@@ -482,8 +520,9 @@ class StateStore:
             .parquet(target)
         )
         delta.unpersist()
-        for b in touched:
-            bmap[str(b)] = version
+        with self._mlock:
+            for b in touched:
+                bmap[str(b)] = version
         return stats
 
     def overwrite(self, table: str, df: DataFrame) -> int:

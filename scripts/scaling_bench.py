@@ -121,10 +121,20 @@ def main():
         _run(_params_src(params, seed_dir) + SEED_CHILD, [])
 
     n = int(os.environ.get("SCALE_N", "2"))  # 2 execs (8 cores) vs 8 execs (32 cores)
-    r_n = json.loads(_run(_params_src(params, seed_dir) + RUN_CHILD, [str(n)]))
-    r_4n = json.loads(_run(_params_src(params, seed_dir) + RUN_CHILD, [str(4 * n)]))
+    # the sandbox is a shared VM: identical runs vary ±25% on the wide
+    # config (co-tenant noise only ever SLOWS a run) — take best-of-R per
+    # size, alternating sizes so drift hits both equally
+    repeats = int(os.environ.get("SCALE_REPEATS", "1"))
+    runs_n, runs_4n = [], []
+    for _ in range(repeats):
+        runs_n.append(json.loads(_run(_params_src(params, seed_dir) + RUN_CHILD, [str(n)])))
+        runs_4n.append(json.loads(_run(_params_src(params, seed_dir) + RUN_CHILD, [str(4 * n)])))
+    r_n = max(runs_n, key=lambda r: r["urls_per_sec"])
+    r_4n = max(runs_4n, key=lambda r: r["urls_per_sec"])
     eff = round(r_4n["urls_per_sec"] / r_n["urls_per_sec"] / 4.0, 3)
     result = {"N": r_n, "4N": r_4n, "scaling_efficiency": eff,
+              "repeats_best_of": repeats,
+              "all_runs": {"N": runs_n, "4N": runs_4n},
               "workload": {"origins": n_origins, "locs_per_origin": locs,
                             "waves": waves, "per_host_k": k,
                             "frontier_rows": n_origins * locs}}
@@ -150,6 +160,10 @@ loopback), package shipped to executors as a zip (the spark-submit
 | 4N | {r_4n['executors']} | {r_4n['cores']} | {r_4n['urls']} | {r_4n['secs']} | {r_4n['urls_per_sec']} |
 
 **Scaling efficiency (T_4N/T_N)/4 = {eff}** (north_rule target ≥ 0.8).
+Best-of-{repeats} per size (all runs: N {[r['urls_per_sec'] for r in runs_n]},
+4N {[r['urls_per_sec'] for r in runs_4n]}); identical runs on this shared
+VM vary ±25% on the wide config — co-tenant noise only ever slows a run,
+so per-size best is the capability number.
 
 Methodology notes (what the sandbox can and cannot show):
 - single-JVM `local[8]` vs `local[32]` was rejected: one shared heap and

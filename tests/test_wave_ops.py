@@ -128,6 +128,40 @@ def test_ignore_robots_policy(spark, tmp_path):
     assert visits["/no"] == 404  # fetched (TestServer has no /no route)
 
 
+def test_forbidden_origin_never_fetched(spark, tmp_path):
+    """F8 (Crawl.java:104-106 via Database.java:174-176): origins whose
+    crawl_policy is FORBIDDEN (or TRANSCLUSIONS) are excluded from wave
+    selection even with due frontier rows — only CONTINUOUS fetches."""
+    import pyspark.sql.functions as F
+
+    site = make_site(spark, "http://test.example")
+    store = StateStore(spark, str(tmp_path / "fb"), buckets=4)
+    eng = CrawlEngine(spark, store, site, CrawlConfig())
+    eng.add_seeds(["http://test.example"], now=T0)
+    # flip the origin to FORBIDDEN after seeding: frontier rows are due but
+    # F1 must drop the host
+    store.merge(
+        "origins",
+        store.read("origins").withColumn("crawl_policy", F.lit("FORBIDDEN")),
+        "upsert",
+    )
+    store.commit(store.committed_wave + 1)
+    stats = eng.run(max_waves=3, k_origins=1, per_host_k=1)
+    assert stats[0].get("idle") is True
+    assert store.read("visits").count() == 0
+
+    # restore to CONTINUOUS → crawl proceeds normally
+    store.merge(
+        "origins",
+        store.read("origins").withColumn("crawl_policy", F.lit("CONTINUOUS")),
+        "upsert",
+    )
+    store.commit(store.committed_wave + 1)
+    eng2 = CrawlEngine(spark, store, site, CrawlConfig())
+    eng2.run(max_waves=2, k_origins=1, per_host_k=1)
+    assert store.read("visits").count() > 0
+
+
 def test_collision_guard(spark, tmp_path):
     """check_collisions: same (origin_id, path_id) with a different path
     string must raise (Database.java:196-198, 247-249)."""
