@@ -607,12 +607,23 @@ def q_dedup_word_jaccard(spark, sf_dir):
     return word_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.9)
 
 
-SQL_DEDUP_WORD_JACCARD = """
+# candidates from the SAME word-unigram md5 MinHash banding as the Spark
+# operator, exact word-set Jaccard on candidates
+_WJ_MH_AGGS = ", ".join(f"min(md5('w{i}|' || word)) AS mh{i}" for i in range(6))
+SQL_DEDUP_WORD_JACCARD = f"""
 WITH w AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS word FROM documents),
 wd AS (SELECT DISTINCT doc_id, word FROM w WHERE word <> ''),
 sz AS (SELECT doc_id, COUNT(*) AS sz FROM wd GROUP BY 1),
-c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-      FROM wd a JOIN wd b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1,2)
+sig AS (SELECT doc_id, {_WJ_MH_AGGS} FROM wd GROUP BY 1),
+b AS (SELECT 0 AS band, md5(mh0 || '|' || mh1) AS bucket, doc_id FROM sig
+      UNION ALL SELECT 1, md5(mh2 || '|' || mh3), doc_id FROM sig
+      UNION ALL SELECT 2, md5(mh4 || '|' || mh5), doc_id FROM sig),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+c AS (SELECT doc_a, doc_b, COUNT(*) AS common
+      FROM cand JOIN wd a ON a.doc_id = cand.doc_a
+                JOIN wd b2 ON b2.doc_id = cand.doc_b AND b2.word = a.word
+      GROUP BY 1, 2)
 SELECT doc_a, doc_b, common,
        CAST(ROUND(common*1000000.0/(sa.sz+sb.sz-common)) AS BIGINT) AS jaccard_e6
 FROM c JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
@@ -700,6 +711,14 @@ SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash FROM v ORDER BY doc_id
 """
 
 
+# hyperplane: dim i (0-based), bit b → ((i*31 + b*17) % 7) - 3; DuckDB lambda
+# index is 1-based hence (i-1).
+_ANN_BITS = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(range(1, len(v)+1), i -> v[i] * ((((i-1)*31 + {b}*17) % 7) - 3))) >= 0 THEN {1 << b} ELSE 0 END)"
+    for b in range(8)
+)
+
+
 def q_embed_dup_pairs(spark, sf_dir):
     from chronicrawl_spark.extras.dedup import embedding_dup_pairs
 
@@ -709,13 +728,17 @@ def q_embed_dup_pairs(spark, sf_dir):
     return embedding_dup_pairs(e, threshold=0.95)
 
 
-SQL_EMBED_DUPS = """
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+# blocked by the SAME deterministic sign-LSH bucket as the Spark operator
+# (extras/dedup.embedding_dup_pairs → similarity.lsh_buckets)
+SQL_EMBED_DUPS = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bk AS (SELECT vec_id, CAST({_ANN_BITS} AS BIGINT) AS bucket FROM e),
+eb AS (SELECT e.vec_id, e.v, bk.bucket FROM e JOIN bk ON e.vec_id = bk.vec_id)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
   CAST(ROUND(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]))
     / (sqrt(list_sum(list_transform(a.v, x -> x*x))) * sqrt(list_sum(list_transform(b.v, x -> x*x))))
     * 1000000) AS BIGINT) AS cos_e6
-FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE CAST(ROUND(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]))
     / (sqrt(list_sum(list_transform(a.v, x -> x*x))) * sqrt(list_sum(list_transform(b.v, x -> x*x))))
     * 1000000) AS BIGINT) >= 950000
@@ -752,12 +775,6 @@ def q_ann_lsh_topk(spark, sf_dir):
     return ann_topk(e, k=10)
 
 
-# hyperplane: dim i (0-based), bit b → ((i*31 + b*17) % 7) - 3; DuckDB lambda
-# index is 1-based hence (i-1).
-_ANN_BITS = " + ".join(
-    f"(CASE WHEN list_sum(list_transform(range(1, len(v)+1), i -> v[i] * ((((i-1)*31 + {b}*17) % 7) - 3))) >= 0 THEN {1 << b} ELSE 0 END)"
-    for b in range(8)
-)
 SQL_ANN_LSH_TOPK = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 bk AS (SELECT vec_id, CAST({_ANN_BITS} AS BIGINT) AS bucket FROM e),

@@ -47,31 +47,61 @@ def exact_dedup(docs: DataFrame, key=None) -> DataFrame:
     )
 
 
-def word_jaccard_pairs(docs: DataFrame, threshold: float = 0.9, max_df: int = 100000) -> DataFrame:
-    """Near-dup candidate pairs by Jaccard over distinct word sets.
+def word_jaccard_pairs(docs: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """Near-dup pairs by Jaccard over distinct word sets: **MinHash-LSH
+    candidates → exact verify** (same scale shape as ``ngram_jaccard_pairs``
+    — the word self-join candidate generator it replaces was quadratic
+    within stop-words and capped recall with a df cutoff).
 
-    score scaled ×1e6 → BIGINT for oracle comparison.
+    Candidates come from **word-unigram** MinHash (min(md5(seed|word)) — the
+    unbiased estimator of word-SET Jaccard; shingle signatures would miss
+    reordered near-dups) with 3×2 banding: per-pair recall ≈ 1-(1-s²)³ ≈
+    99.3% at s=0.9, deterministic given md5 and mirrored exactly by the
+    oracle.  Exact word-set Jaccard is then computed only for candidates
+    via ``array_intersect``.  score ×1e6 → BIGINT for oracle comparison.
     """
     w = (
         docs.select("doc_id", F.explode(_words()).alias("word"))
         .filter(F.col("word") != "")
         .distinct()
     )
-    sizes = w.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    df_cap = w.groupBy("word").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df)
-    w = w.join(df_cap.select("word"), "word", "inner")
-    a = w.alias("a")
-    b = w.alias("b")
-    common = (
-        a.join(b, (F.col("a.word") == F.col("b.word")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("common"))
+    sig = w.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"w{i}|"), F.col("word")))).alias(f"mh{i}")
+            for i in range(6)
+        ]
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    out = (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+    bands = []
+    for band in range(3):
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(band).alias("band"),
+                F.md5(F.concat_ws("|", f"mh{2 * band}", f"mh{2 * band + 1}")).alias("bucket"),
+            )
+        )
+    allb = bands[0].unionByName(bands[1]).unionByName(bands[2])
+    x, y = allb.alias("x"), allb.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    warr = w.groupBy("doc_id").agg(
+        F.collect_set("word").alias("words"), F.count("*").alias("sz")
+    )
+    wa = warr.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wa"), F.col("sz").alias("sz_a"))
+    wb = warr.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("wb"), F.col("sz").alias("sz_b"))
+    common = F.size(F.array_intersect(F.col("wa"), F.col("wb")))
+    return (
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .withColumn("common", common.cast("long"))
         .withColumn(
             "jaccard_e6",
             F.round(
@@ -80,9 +110,7 @@ def word_jaccard_pairs(docs: DataFrame, threshold: float = 0.9, max_df: int = 10
         )
         .filter(F.col("jaccard_e6") >= int(threshold * 1_000_000))
         .select("doc_a", "doc_b", "common", "jaccard_e6")
-
     )
-    return out
 
 
 def char_ngram_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
@@ -270,11 +298,18 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     return agg.select("doc_id", sig.cast("long").alias("simhash"))
 
 
-def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked by ``label`` (the blocking
-    key stands in for an LSH bucket at scale — pairwise only within blocks).
+def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.95, n_bits: int = 8) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by **sign-LSH bucket**
+    (similarity.lsh_buckets): pairwise cosine only within a bucket — the
+    real scale path (near-identical vectors share every hyperplane sign, so
+    they land in the same bucket; recall at cos≥0.95 is governed by the
+    deterministic hyperplanes, which the DuckDB oracle reproduces exactly).
     """
-    e = embeddings.select("vec_id", "label", "embedding")
+    from .similarity import lsh_buckets
+
+    e = embeddings.select("vec_id", "embedding")
+    buckets = lsh_buckets(e, n_bits)
+    e = e.join(buckets, "vec_id")
     a, b = e.alias("a"), e.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.embedding"), F.col("b.embedding"), lambda x, y: x * y),
@@ -285,7 +320,7 @@ def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> DataF
         F.aggregate(F.col(f"{side}.embedding"), F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
     )
     return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .withColumn("cos_e6", F.round(dot / (norm("a") * norm("b")) * 1e6).cast("long"))
         .filter(F.col("cos_e6") >= int(threshold * 1e6))
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), "cos_e6")
