@@ -653,7 +653,10 @@ WITH g AS (SELECT DISTINCT doc_id, substr(text, i.i, 3) AS gram
            WHERE LENGTH(substr(text, i.i, 3)) = 3),
 g8 AS (SELECT DISTINCT doc_id, substr(text, i.i, 8) AS gram
        FROM documents d, LATERAL (SELECT unnest(range(1, GREATEST(LENGTH(d.text)-7,0)+1)) AS i) i
-       WHERE LENGTH(substr(text, i.i, 8)) = 8),
+       WHERE LENGTH(substr(text, i.i, 8)) = 8
+       UNION ALL
+       SELECT doc_id, text AS gram FROM documents
+       WHERE LENGTH(text) > 0 AND LENGTH(text) < 8),
 sz AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY 1),
 sig AS (SELECT doc_id, {_NGRAM_MH_AGGS} FROM g8 GROUP BY 1),
 b AS ({_NGRAM_BANDS}),
@@ -711,34 +714,73 @@ SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash FROM v ORDER BY doc_id
 """
 
 
-# hyperplane: dim i (0-based), bit b → ((i*31 + b*17) % 7) - 3; DuckDB lambda
-# index is 1-based hence (i-1).
-_ANN_BITS = " + ".join(
-    f"(CASE WHEN list_sum(list_transform(range(1, len(v)+1), i -> v[i] * ((((i-1)*31 + {b}*17) % 7) - 3))) >= 0 THEN {1 << b} ELSE 0 END)"
-    for b in range(8)
-)
+# sign-LSH hyperplanes: md5-derived integer literals precomputed in Python
+# (similarity.hyperplane) and embedded on BOTH engines — a closed-form
+# "(i*31 + b*17) % 7" has period 7 in b, so only 7 distinct planes existed
+# (see extras/similarity.py docstring).
+def _sql_hp_dot(b: int) -> str:
+    from chronicrawl_spark.extras.similarity import hyperplane
+
+    lits = ", ".join(str(v) for v in hyperplane(b))
+    return f"list_sum(list_transform(range(1, len(v)+1), i -> v[i] * list_extract([{lits}], i)))"
+
+
+def _sql_sign_bits(first: int, n: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN {_sql_hp_dot(first + j)} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(n)
+    )
+
+
+_ANN_BITS = _sql_sign_bits(0, 8)
 
 
 def q_embed_dup_pairs(spark, sf_dir):
+    """Banded sign-LSH near-dup pairs.  The synthetic corpus has no natural
+    cos≥0.95 pair (max measured 0.51 at sf0.01), which left this entry a
+    vacuous 0-row green in r1/r2 — so the query PLANTS 5 deterministic
+    near-duplicates (copies of the 5 smallest vec_ids with the first
+    component ×1.5 → cos 0.997-0.99997) identically on both engines; the
+    oracle now verifies real output rows end-to-end through banding and the
+    cosine verify."""
     from chronicrawl_spark.extras.dedup import embedding_dup_pairs
 
-    e = _t(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    return embedding_dup_pairs(e, threshold=0.95)
+    planted = (
+        e.orderBy("vec_id")
+        .limit(5)
+        .select(
+            (F.col("vec_id") + F.lit(1_000_000_000)).alias("vec_id"),
+            F.transform(
+                F.col("embedding"), lambda x, i: F.when(i == F.lit(0), x * 1.5).otherwise(x)
+            ).alias("embedding"),
+        )
+    )
+    return embedding_dup_pairs(e.unionByName(planted), threshold=0.95)
 
 
-# blocked by the SAME deterministic sign-LSH bucket as the Spark operator
-# (extras/dedup.embedding_dup_pairs → similarity.lsh_buckets)
+# the SAME banded sign-LSH blocking + planted rows as the Spark operator
+# (extras/dedup.embedding_dup_pairs → similarity.banded_lsh_buckets)
+_EMBED_BANDS_SQL = "\n  UNION ALL ".join(
+    f"SELECT vec_id, {t} AS band, CAST({_sql_sign_bits(t * 8, 8)} AS BIGINT) AS bucket FROM e"
+    for t in range(3)
+)
 SQL_EMBED_DUPS = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-bk AS (SELECT vec_id, CAST({_ANN_BITS} AS BIGINT) AS bucket FROM e),
-eb AS (SELECT e.vec_id, e.v, bk.bucket FROM e JOIN bk ON e.vec_id = bk.vec_id)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p5 AS (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT 5),
+planted AS (SELECT vec_id + 1000000000 AS vec_id,
+                   list_transform(range(1, len(v)+1), i -> CASE WHEN i = 1 THEN v[i]*1.5 ELSE v[i] END) AS v
+            FROM p5),
+e AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+bb AS ({_EMBED_BANDS_SQL}),
+cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         FROM bb x JOIN bb y ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+SELECT vec_a, vec_b,
   CAST(ROUND(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]))
     / (sqrt(list_sum(list_transform(a.v, x -> x*x))) * sqrt(list_sum(list_transform(b.v, x -> x*x))))
     * 1000000) AS BIGINT) AS cos_e6
-FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+FROM cand JOIN e a ON a.vec_id = cand.vec_a JOIN e b ON b.vec_id = cand.vec_b
 WHERE CAST(ROUND(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]))
     / (sqrt(list_sum(list_transform(a.v, x -> x*x))) * sqrt(list_sum(list_transform(b.v, x -> x*x))))
     * 1000000) AS BIGINT) >= 950000

@@ -80,6 +80,10 @@ def crawl_throughput(spark, n_origins: int = 2000, locs: int = 50, waves: int = 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # best-of-R protocol (same as scripts/scaling_bench.py): same-config runs
+    # on this shared VM drift ±25%, so a single timing is noise, not signal —
+    # the minimum over R runs is the stable estimator of plan cost
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     from chronicrawl_spark.session import get_spark
 
     spark = get_spark("chronicrawl-bench", cpus=cpus)
@@ -90,11 +94,16 @@ def main():
     for name in HEADLINE:
         df = q[name](spark, sf_dir)
         _materialize(df)  # warm (plan + JIT + page cache)
-        t0 = time.time()
-        _materialize(q[name](spark, sf_dir))
-        times[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(repeats):
+            t0 = time.time()
+            _materialize(q[name](spark, sf_dir))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
 
-    crawl = crawl_throughput(spark)
+    crawl_runs = [crawl_throughput(spark) for _ in range(repeats)]
+    crawl = max(crawl_runs, key=lambda c: c["urls_per_sec"])
     times["crawl_scheduler_3waves"] = crawl["secs"]
 
     total = round(sum(times.values()), 3)
@@ -106,6 +115,8 @@ def main():
         "sf": sf_dir,
         "cpus": cpus,
         "crawl": crawl,
+        "crawl_runs": [c["secs"] for c in crawl_runs],
+        "repeats": repeats,
         "total_query_sec": total,
     }
     print(json.dumps(out))

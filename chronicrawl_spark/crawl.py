@@ -98,11 +98,12 @@ class CrawlEngine:
         self._disc_caches: list[DataFrame] = []  # persisted discovery frames
         self._bloom_bits = None  # incremental URL-seen filter (np.ndarray)
 
-    def _merge(self, table: str, delta, mode: str) -> int:
-        """StateStore.merge + lineage accounting."""
-        n = self.store.merge(table, delta, mode)
-        self._lineage.append((table, mode, n))
-        return n
+    def _merge(self, table: str, delta, mode: str) -> dict:
+        """StateStore.merge + lineage accounting; returns the merge stats
+        dict (no shared-attribute read — safe if sinks ever parallelize)."""
+        st = self.store.merge(table, delta, mode)
+        self._lineage.append((table, mode, st["buckets"]))
+        return st
 
     def add_rules(self, rules_df) -> None:
         """Install rule→schedule bindings (ref ``RuleDAO``)."""
@@ -216,8 +217,8 @@ class CrawlEngine:
         )
 
         if n_wave == 0:
-            self._merge("origins", parked_rows, "upsert")
-            n_parked = store.last_merge_stats["rows_by_tag"].get("parked", 0)
+            pst = self._merge("origins", parked_rows, "upsert")
+            n_parked = pst["rows_by_tag"].get("parked", 0)
             w = store.committed_wave + 1
             store.commit(w)
             return {"wave": w, "ts": T, "fetched": 0, "parked": n_parked}
@@ -702,7 +703,6 @@ class CrawlEngine:
         )
         self._disc_caches.append(locs)
 
-        origins_now = self.store.read_staged("origins")
         # robots-location quirk (Crawl.java:76-78): tryInsert returns
         # existed-already; the robots.txt location is only enqueued on calls
         # where the origin row already existed — i.e. origin pre-existed, or
@@ -710,7 +710,13 @@ class CrawlEngine:
         per_origin_cnt = locs.groupBy(F.col("u.origin_id").alias("origin_id"), F.col("u.origin").alias("origin")).agg(
             F.count("*").alias("__cnt")
         )
-        pre_existing = origins_now.select("origin_id").withColumn("__pre", F.lit(True))
+        # presence-only check → read_keys (base∪deltas, no MoR resolve);
+        # distinct because a key may appear in base AND a delta chain
+        pre_existing = (
+            self.store.read_keys("origins", ["origin_id"], staged=True)
+            .distinct()
+            .withColumn("__pre", F.lit(True))
+        )
         oc = per_origin_cnt.join(pre_existing, "origin_id", "left")
 
         new_origins = oc.filter(F.col("__pre").isNull()).select(
@@ -778,7 +784,10 @@ class CrawlEngine:
                     F.xxhash64("origin_id", "path_id").alias("key"),
                 )
 
-            cur = self.store.read_staged("frontier")
+            # URL-seen is a key-presence question: base∪delta keys without
+            # the MoR newest-wins resolve (duplicates are harmless to a
+            # bloom build and to the anti-join below)
+            cur = self.store.read_keys("frontier", ["origin_id", "path_id"], staged=True)
             if self._bloom_bits is None:
                 # one-time build over the whole frontier (engine start /
                 # snapshot resume); afterwards the filter is maintained
@@ -808,7 +817,12 @@ class CrawlEngine:
             )
             all_new = definite_new.unionByName(verified_new)
         if cfg.check_collisions:
-            cur = self.store.read_staged("frontier").select("origin_id", "path_id", F.col("path").alias("__p"))
+            # every historical row (base or delta) for a key carries the same
+            # path unless there IS a collision — unresolved keys view is
+            # exactly what we want to scan here
+            cur = self.store.read_keys(
+                "frontier", ["origin_id", "path_id", "path"], staged=True
+            ).select("origin_id", "path_id", F.col("path").alias("__p"))
             bad = all_new.join(cur, ["origin_id", "path_id"], "inner").filter(F.col("path") != F.col("__p"))
             clash = bad.limit(1).collect()
             if clash:

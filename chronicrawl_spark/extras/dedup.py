@@ -92,8 +92,18 @@ def word_jaccard_pairs(docs: DataFrame, threshold: float = 0.9) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    warr = w.groupBy("doc_id").agg(
-        F.collect_set("word").alias("words"), F.count("*").alias("sz")
+    # verify ONLY candidate docs: left-semi prune BEFORE materializing the
+    # word arrays — at 100 TB candidates are a sliver of the corpus and
+    # collect_set over everything would re-materialize the corpus as arrays
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    warr = (
+        w.join(cand_ids, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("word").alias("words"), F.count("*").alias("sz"))
     )
     wa = warr.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wa"), F.col("sz").alias("sz_a"))
     wb = warr.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("wb"), F.col("sz").alias("sz_b"))
@@ -151,11 +161,16 @@ def ngram_jaccard_pairs(
     contains the globally-minimal gram and all minhashes collide — buckets
     degenerate to all-pairs (measured: 21 s → timeout at sf0.1).  8-char
     shingles are the standard text-dedup choice; near-identical documents
-    still share them.  Both stages are deterministic md5 and the DuckDB
-    oracle mirrors them bit-for-bit, so the gate compares identical sets.
+    still share them.  Docs shorter than ``sig_n`` sign their WHOLE text
+    instead (they have no shingle) so short near-dups stay reachable.  Both
+    stages are deterministic md5 and the DuckDB oracle mirrors them
+    bit-for-bit, so the gate compares identical sets.
     """
     g = char_ngram_shingles(docs, n)
-    gs = char_ngram_shingles(docs, sig_n)
+    short = docs.filter((F.length("text") > 0) & (F.length("text") < sig_n)).select(
+        "doc_id", F.col("text").alias("gram")
+    )
+    gs = char_ngram_shingles(docs, sig_n).unionByName(short)
     k = bands * rows_per_band
     sig = gs.groupBy("doc_id").agg(
         *[
@@ -187,8 +202,17 @@ def ngram_jaccard_pairs(
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    garr = g.groupBy("doc_id").agg(
-        F.collect_set("gram").alias("grams"), F.count("*").alias("sz")
+    # semi-join prune: gram arrays only for candidate docs (see
+    # word_jaccard_pairs — never re-materialize the whole corpus as arrays)
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    garr = (
+        g.join(cand_ids, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("gram").alias("grams"), F.count("*").alias("sz"))
     )
     ga = garr.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"), F.col("sz").alias("sz_a"))
     gb = garr.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"), F.col("sz").alias("sz_b"))
@@ -298,31 +322,52 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     return agg.select("doc_id", sig.cast("long").alias("simhash"))
 
 
-def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.95, n_bits: int = 8) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked by **sign-LSH bucket**
-    (similarity.lsh_buckets): pairwise cosine only within a bucket — the
-    real scale path (near-identical vectors share every hyperplane sign, so
-    they land in the same bucket; recall at cos≥0.95 is governed by the
-    deterministic hyperplanes, which the DuckDB oracle reproduces exactly).
+def embedding_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    bands: int = 3,
+    rows_per_band: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via **banded sign-LSH** (B bands ×
+    r bits, similarity.banded_lsh_buckets) → exact cosine verify on the
+    candidate set — the same multi-table LSH shape as the text dedup.
+
+    A single wide bucket (the old shape) both capped recall (one missed
+    sign bit kills the pair) and left per-bucket population O(N²/2^bits)
+    at scale; bands bound per-bucket work while the band union lifts recall
+    (planted cos≥0.997 pairs: 5/5 recovered vs 4/5 single-bucket,
+    tests/test_dedup_recall.py asserts ≥95% vs exhaustive).  Hyperplanes
+    are md5-derived literals, mirrored exactly by the DuckDB oracle.
     """
-    from .similarity import lsh_buckets
+    from .similarity import banded_lsh_buckets
 
     e = embeddings.select("vec_id", "embedding")
-    buckets = lsh_buckets(e, n_bits)
-    e = e.join(buckets, "vec_id")
-    a, b = e.alias("a"), e.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.embedding"), F.col("b.embedding"), lambda x, y: x * y),
-        F.lit(0.0).cast("double"),
-        lambda acc, x: acc + x,
+    bb = banded_lsh_buckets(e, bands, rows_per_band)
+    x, y = bb.alias("x"), bb.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
+        .distinct()
     )
-    norm = lambda side: F.sqrt(  # noqa: E731
-        F.aggregate(F.col(f"{side}.embedding"), F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda p, q: p * q),
+        F.lit(0.0).cast("double"),
+        lambda acc, p: acc + p,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0).cast("double"), lambda acc, p: acc + p * p)
     )
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .withColumn("cos_e6", F.round(dot / (norm("a") * norm("b")) * 1e6).cast("long"))
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cos_e6", F.round(dot / (norm("va") * norm("vb")) * 1e6).cast("long"))
         .filter(F.col("cos_e6") >= int(threshold * 1e6))
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), "cos_e6")
-
+        .select("vec_a", "vec_b", "cos_e6")
     )

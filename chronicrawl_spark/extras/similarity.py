@@ -6,18 +6,50 @@
   vectors themselves, only of k candidates per partition via takeOrdered
   semantics in the sort).
 - ``lsh_buckets`` / ``ann_topk``: the scale path — deterministic sign-LSH
-  (integer hyperplanes derived from (dim_index, bit) so the oracle can
-  reproduce them), bucket join to candidates, exact rerank within bucket.
-  At 100 TB the bucket join replaces the all-pairs scan; bucket keys are
-  uniform so the join is skew-free.
+  (integer hyperplanes precomputed from md5(bit, dim) and embedded as
+  literal arrays so the DuckDB oracle reproduces them bit-for-bit), bucket
+  join to candidates, exact rerank within bucket.  At 100 TB the bucket
+  join replaces the all-pairs scan; bucket keys are uniform so the join is
+  skew-free.
+- ``banded_lsh_buckets``: B bands × r bits — the multi-table LSH shape the
+  text dedup already uses.  A single wide bucket caps recall AND leaves
+  per-bucket population O(N/2^bits); bands bound both (union of band
+  matches lifts recall, each band is selective).
+
+Earlier rounds derived hyperplane components from a closed-form
+``((i*31 + b*17) % 7) - 3``: any polynomial in the bit index mod 7 has
+period 7, so only 7 distinct hyperplanes existed no matter how many bits —
+bit 7 duplicated bit 0 (the "8-bit" bucket was really 7 bits).  The
+md5-derived matrix gives genuinely independent planes (verified:
+24 distinct at 24 bits, planted cos≥0.997 pairs all survive 3×8 banding).
 """
 
 from __future__ import annotations
+
+import functools
+import hashlib
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 N_BITS = 8
+DIM = 64  # embeddings table vector width (TESTDATA.md)
+
+
+@functools.lru_cache(maxsize=None)
+def hyperplane(b: int, dim: int = DIM) -> tuple:
+    """Deterministic integer hyperplane for sign bit ``b``: component i =
+    (md5("hp{b}_{i}")[:4] as int) % 7 - 3 ∈ [-3, 3].  Precomputed in Python
+    and embedded as literals on both engines (Spark and the DuckDB oracle),
+    so no engine-specific RNG is involved."""
+    return tuple(
+        int(hashlib.md5(f"hp{b}_{i}".encode()).hexdigest()[:4], 16) % 7 - 3
+        for i in range(dim)
+    )
+
+
+def _hp_array(b: int, dim: int = DIM):
+    return F.array(*[F.lit(float(v)) for v in hyperplane(b, dim)])
 
 
 def _dot(a, b):
@@ -50,24 +82,43 @@ def cosine_topk(embeddings: DataFrame, k: int = 20) -> DataFrame:
     return scored.orderBy(F.col("cos_e6").desc(), F.col("vec_id").asc()).limit(k)
 
 
-def _hyperplane_sign(i, b):
-    """Deterministic integer hyperplane component for dim i, bit b:
-    ((i*31 + b*17) % 7) - 3 ∈ [-3, 3].  Reproducible in plain SQL."""
-    return ((i * F.lit(31) + F.lit(b * 17)) % 7) - 3
+def _sign_bits(first_bit: int, n_bits: int, dim: int = DIM):
+    """Packed sign bits of the projections onto hyperplanes
+    [first_bit, first_bit + n_bits) — JVM-side zip_with/aggregate only."""
+    bucket = F.lit(0).cast("long")
+    for j in range(n_bits):
+        proj = _dot(F.col("embedding"), _hp_array(first_bit + j, dim))
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
 
 
-def lsh_buckets(embeddings: DataFrame, n_bits: int = N_BITS) -> DataFrame:
+def lsh_buckets(embeddings: DataFrame, n_bits: int = N_BITS, dim: int = DIM) -> DataFrame:
     """Sign-LSH bucket id per vector (n_bits-bit integer)."""
     out = embeddings.select("vec_id", "embedding")
-    bucket = F.lit(0).cast("long")
-    for b in range(n_bits):
-        proj = F.aggregate(
-            F.transform(F.col("embedding"), lambda x, i: x * _hyperplane_sign(i, b).cast("double")),
-            F.lit(0.0).cast("double"),
-            lambda s, x: s + x,
-        )
-        bucket = bucket + F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return out.select("vec_id", bucket.alias("bucket"))
+    return out.select("vec_id", _sign_bits(0, n_bits, dim).alias("bucket"))
+
+
+def banded_lsh_buckets(
+    embeddings: DataFrame, bands: int = 3, rows_per_band: int = 8, dim: int = DIM
+) -> DataFrame:
+    """(vec_id, band, bucket) rows — band t packs the sign bits of
+    hyperplanes [t*r, (t+1)*r).  One scan: the per-band buckets are computed
+    in a single projection and exploded (no per-band re-scan of the
+    vectors).  Candidates = pairs sharing ANY band bucket, exactly the
+    banded-minhash shape the text dedup uses — per-band selectivity stays
+    O(N/2^r) while the band union lifts recall."""
+    per_band = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("band"),
+                _sign_bits(t * rows_per_band, rows_per_band, dim).alias("bucket"),
+            )
+            for t in range(bands)
+        ]
+    )
+    return embeddings.select("vec_id", F.explode(per_band).alias("bb")).select(
+        "vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
 
 
 def ann_topk_multi(

@@ -76,25 +76,41 @@ def build_bloom_sharded(
     shard's plane, so total capacity scales linearly with S while the probe
     still reads one plane.  Per-partition partial planes are OR-merged via
     ``treeAggregate`` (depth 2) — the north_star's build shape.
+
+    Keys reach Python as **Arrow batches** (``mapInArrow`` → zero-copy
+    numpy), never as per-row Python objects — at 10^10 keys the one-time
+    startup/resume build would otherwise round-trip the whole corpus
+    through row-at-a-time pickling.  Each partition emits ONE binary plane
+    row; only #partitions planes enter the tree merge.
     """
+    import pyarrow as pa
+
     n_bytes = n_bits // 8
-    rdd = df.select(shard_col, key_col).rdd.map(lambda r: (r[0], r[1]))
+    src = df.select(
+        F.col(shard_col).cast("long").alias("shard"), F.col(key_col).cast("long").alias("key")
+    )
 
-    def part_build(it):
+    def part_build(batches):
         arrs = np.zeros((n_shards, n_bytes), dtype=np.uint8)
-        data = list(it)
-        if data:
-            sh = np.fromiter((d[0] for d in data), dtype=np.int64)
-            keys = np.fromiter((d[1] for d in data), dtype=np.int64)
-            for pos in _positions(keys, n_bits, k):
-                np.bitwise_or.at(
-                    arrs, (sh, pos >> 3), np.uint8(1) << (pos & 7).astype(np.uint8)
-                )
-        yield arrs
+        for batch in batches:
+            sh = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            keys = batch.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(keys):
+                for pos in _positions(keys, n_bits, k):
+                    np.bitwise_or.at(
+                        arrs, (sh, pos >> 3), np.uint8(1) << (pos & 7).astype(np.uint8)
+                    )
+        yield pa.RecordBatch.from_arrays([pa.array([arrs.tobytes()])], names=["plane"])
 
+    planes = src.mapInArrow(part_build, "plane binary")
     zero = np.zeros((n_shards, n_bytes), dtype=np.uint8)
-    return rdd.mapPartitions(part_build).treeAggregate(
-        zero, lambda a, b: np.bitwise_or(a, b), lambda a, b: np.bitwise_or(a, b), depth=depth
+    return planes.rdd.treeAggregate(
+        zero,
+        lambda a, r: np.bitwise_or(
+            a, np.frombuffer(r["plane"], dtype=np.uint8).reshape(n_shards, n_bytes)
+        ),
+        lambda a, b: np.bitwise_or(a, b),
+        depth=depth,
     )
 
 

@@ -39,6 +39,11 @@ def expire_screenshots(store: StateStore, keep: int = KEEP_NEWEST, commit: bool 
     """A3/S11 expiry (Database.java:455-474): keep the newest ``keep`` rows
     per location, drop the rest — a maintenance rewrite (Iceberg
     rewrite-data-files analog), not a per-wave cost.  Returns rows kept."""
+    if store.has_staged_changes():
+        # a crawl step is mid-wave: this maintenance rewrite would share its
+        # wave number/dir with the in-flight wave and dynamic overwrite
+        # would interleave retention-kept rows with fresh appends
+        raise RuntimeError("expire_screenshots: store has staged (mid-wave) writes; commit or roll back first")
     cur = store.read("screenshots")
     kept = keep_newest_k(cur, ["origin_id", "path_id"], [F.col("date").desc()], keep).drop("rn")
     wave = store.committed_wave + 1

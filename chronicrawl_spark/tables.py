@@ -1,34 +1,59 @@
-"""Versioned crawl-state tables — an Iceberg-MERGE analog on plain parquet.
+"""Versioned crawl-state tables — an Iceberg merge-on-read analog on parquet.
 
 The reference keeps all state in 12 SQLite tables (``Database.java:55-64``,
 ``schema.sql``) with single-writer transactions.  The Spark-native design is
-snapshot-versioned tables with partition-level copy-on-write:
+snapshot-versioned tables with bucket-level **merge-on-read** (MoR):
 
 - **Mutable tables** (``origins``, ``frontier``, ``sitemap_entries``) are
   hash-bucketed by ``origin_id`` (``bucket = pmod(origin_id, B)`` — the
   xxh64 keyspace is uniform, ref ``Url.java:30-50``, so buckets are even).
-  A wave's MERGE rewrites **only the buckets its delta touches**; untouched
-  buckets keep their prior version files.  This is exactly the shape of an
-  Iceberg copy-on-write ``MERGE INTO`` with ``bucket(N, origin_id)``
-  partitioning, and is what makes a 10^10-row frontier updatable without
-  rewriting a terabyte per wave.
+  A wave's MERGE writes **only a delta file per touched bucket** (the
+  upsert/insert rows themselves — O(delta), never O(table)); ``read()``
+  merges base + delta chain with a newest-wins resolution.  This is the
+  Iceberg MoR / equality-delete shape: with uniform hash keys a large wave
+  touches every bucket, so the old copy-on-write rewrite was O(frontier)
+  per wave — MoR makes the per-wave write cost proportional to the wave.
+- **Compaction** (Iceberg ``rewrite_data_files``): when a bucket's delta
+  chain exceeds ``delta_chain_k``, its chain is folded into a new base
+  file.  With every-bucket waves this amortizes to one full rewrite per
+  ``K+1`` waves instead of one per wave.
+- **Resolution** is adaptive: if the outstanding delta rows fit a broadcast
+  (``delta_broadcast_rows``), the base scan is split with broadcast
+  anti/semi joins on the delta keys — the untouched-key branch keeps
+  filter pushdown and costs **zero shuffle of the base**; only the
+  overlapping keys + deltas go through a small newest-wins window.  Past
+  the threshold it falls back to one window over base∪deltas (one table
+  shuffle — on a real cluster this is where Iceberg's storage-partitioned
+  join would keep the merge bucket-local).
 - **Append-only tables** (``visits``, ``warc_records``, ``metrics``,
-  ``lineage``) append one directory per wave (Iceberg append snapshot).
-- A JSON **manifest** pins, per table, which version each bucket reads and
-  which waves are committed.  ``commit(wave)`` atomically publishes the
-  manifest (tmp + rename) *after* all data writes succeed — a crash
-  mid-wave leaves the previous snapshot intact (orphan files are ignored,
-  vacuum-style cleanup applies).  ``manifest-{wave}.json`` history =
-  snapshot tags; resume = load any committed wave (ref semantics: SQLite
+  ``screenshots``) append one directory per wave (Iceberg append snapshot).
+- A JSON **manifest** pins, per table, the base version and delta chain of
+  each bucket and which waves are committed.  ``commit(wave)`` atomically
+  publishes the manifest (tmp + rename) *after* all data writes succeed — a
+  crash mid-wave leaves the previous snapshot intact (orphan files are
+  ignored, vacuum-style cleanup applies).  ``manifest-{wave}.json`` history
+  = snapshot tags; resume = load any committed wave (ref semantics: SQLite
   WAL crash-safety + "resume = read latest snapshot").
 
+Merge semantics (matching the reference's row ops):
+
+- ``upsert`` = WHEN MATCHED UPDATE + WHEN NOT MATCHED INSERT
+  (``Database.java:253-258`` UPDATE / insertOrReplace).
+- ``insert_if_absent`` = WHEN NOT MATCHED INSERT, existing row wins
+  (the reference's tryInsert, ``Database.java:186-200``).
+- There is no delete op (the reference never deletes from these tables),
+  so MoR needs no tombstones: newest-wins resolution is
+  ``latest upsert > base > earliest insert`` per key.
+
 In the sandbox there is no Iceberg runtime jar; on a real cluster this
-module's API maps 1:1 onto Iceberg tables (``MERGE INTO`` / snapshot tags)
-and the engine above it would not change.
+module's API maps 1:1 onto Iceberg MoR tables (``MERGE INTO`` with
+``write.merge.mode=merge-on-read`` + snapshot tags) and the engine above it
+would not change.
 """
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import shutil
@@ -37,6 +62,7 @@ import threading
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 # ---------------------------------------------------------------- schemas
 # FIXTURES.md §2 / reference schema.sql — epoch-millis int64 timestamps for
@@ -188,14 +214,37 @@ APPEND_TABLES = {
 # manifest-file analog) so reads never list directories at scale.
 BUCKETED_APPEND = {"visits", "warc_records", "screenshots"}
 
+# manifest lineage is re-serialized on every commit — cap it (rows are per
+# (table, wave): 2-4/wave, so 20k rows ≈ 5k waves of history)
+LINEAGE_CAP = 20_000
+
 
 class StateStore:
-    """Snapshot-versioned parquet state store (Iceberg-COW analog)."""
+    """Snapshot-versioned parquet state store (Iceberg merge-on-read analog).
 
-    def __init__(self, spark: SparkSession, root: str, buckets: int = 32):
+    ``delta_chain_k``: compact a bucket's delta chain into a new base file
+    once it exceeds this length (amortized full rewrite every K+1 merges).
+    ``delta_broadcast_rows``: while the table's outstanding delta rows are
+    below this, reads resolve via broadcast anti/semi joins (no base
+    shuffle, base-side filter pushdown intact); above it, via one
+    newest-wins window over base∪deltas.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        buckets: int = 32,
+        delta_chain_k: int = 8,
+        delta_broadcast_rows: int = 1_000_000,
+    ):
         self.spark = spark
         self.root = root
         self.buckets = buckets
+        self.delta_chain_k = int(os.environ.get("CHRONICRAWL_DELTA_CHAIN_K", delta_chain_k))
+        self.delta_broadcast_rows = int(
+            os.environ.get("CHRONICRAWL_DELTA_BCAST_ROWS", delta_broadcast_rows)
+        )
         os.makedirs(root, exist_ok=True)
         self.manifest = self._load_manifest()
         # staged (uncommitted) manifest mutations for the in-flight wave
@@ -218,7 +267,11 @@ class StateStore:
         return {
             "committed_wave": -1,
             "buckets": self.buckets,
-            "mutable": {t: {} for t in MUTABLE_TABLES},  # bucket(str) -> version(int)
+            "mutable": {t: {} for t in MUTABLE_TABLES},  # bucket(str) -> base version(int)
+            # bucket(str) -> ordered delta-version chain (MoR)
+            "mutable_deltas": {t: {} for t in MUTABLE_TABLES},
+            # version(str) -> delta row count (drives broadcast-vs-window resolve)
+            "delta_rows": {t: {} for t in MUTABLE_TABLES},
             "append": {t: [] for t in APPEND_TABLES},  # committed wave ids
             "next_version": {t: 0 for t in MUTABLE_TABLES},
         }
@@ -235,6 +288,10 @@ class StateStore:
 
     def rollback_staged(self) -> None:
         self._staged = json.loads(json.dumps(self.manifest))
+
+    def has_staged_changes(self) -> bool:
+        """True if uncommitted writes are staged (mid-wave state)."""
+        return self._staged != self.manifest
 
     @property
     def committed_wave(self) -> int:
@@ -256,7 +313,8 @@ class StateStore:
         return self.spark.createDataFrame([], schema)
 
     def read(self, table: str) -> DataFrame:
-        """Current snapshot of a table (committed manifest, not staged)."""
+        """Current snapshot of a table (committed manifest, not staged).
+        Mutable tables resolve newest-wins over base + delta chains."""
         return self._read_from(self.manifest, table)
 
     def read_staged(self, table: str) -> DataFrame:
@@ -272,30 +330,150 @@ class StateStore:
     def log_lineage(self, wave: int, rows: list) -> None:
         """Per-wave lineage rows live in the manifest (Iceberg
         snapshot-summary analog) — queryable via ``read("lineage")`` without
-        costing a parquet write job per wave."""
-        self._staged.setdefault("lineage", []).extend(list(r) for r in rows)
+        costing a parquet write job per wave.  Capped at ``LINEAGE_CAP``
+        rows (oldest dropped) so the manifest stays O(1) per commit."""
+        lin = self._staged.setdefault("lineage", [])
+        lin.extend(list(r) for r in rows)
+        if len(lin) > LINEAGE_CAP:
+            del lin[: len(lin) - LINEAGE_CAP]
 
     def _read_from(self, manifest: dict, table: str) -> DataFrame:
         if table == "lineage":
             rows = [tuple(r) for r in manifest.get("lineage", [])]
-            return self.spark.createDataFrame(rows, LINEAGE_SCHEMA) if rows else self._empty(LINEAGE_SCHEMA)
+            mdf = (
+                self.spark.createDataFrame(rows, LINEAGE_SCHEMA)
+                if rows
+                else self._empty(LINEAGE_SCHEMA)
+            )
+            # pre-upgrade manifests recorded lineage as append-wave parquet —
+            # union the legacy dirs so old stores keep their history
+            if manifest["append"].get("lineage"):
+                mdf = mdf.unionByName(self._read_append(manifest, "lineage", None))
+            return mdf
         if table in MUTABLE_TABLES:
-            schema, _ = MUTABLE_TABLES[table]
-            bmap: dict = manifest["mutable"][table]
-            if not bmap:
-                return self._empty(schema)
-            # group buckets by version → one scan per version, pruned to its buckets
-            by_ver: dict[int, list[str]] = {}
-            for b, v in bmap.items():
-                by_ver.setdefault(v, []).append(b)
-            paths = []
-            for v, bs in by_ver.items():
-                for b in bs:
-                    paths.append(os.path.join(self.root, table, f"v{v}", f"bucket={b}"))
-            df = self.spark.read.schema(schema).parquet(*paths)
-            return df
+            return self._read_mutable(manifest, table)
         return self._read_append(manifest, table, None)
 
+    # ---- mutable (MoR) read path
+    def _base_scan(self, table: str, bmap: dict, schema: T.StructType) -> DataFrame:
+        """One pruned scan over base files ``bucket -> version``."""
+        paths = [
+            os.path.join(self.root, table, f"v{v}", f"bucket={b}") for b, v in bmap.items()
+        ]
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def _delta_scan(self, manifest: dict, table: str, buckets: list) -> DataFrame:
+        """Union of delta-chain files for ``buckets``, tagged with the
+        resolution columns ``__kind`` (2=upsert, 0=insert) and ``__ver``."""
+        schema, _ = MUTABLE_TABLES[table]
+        dmap = manifest.get("mutable_deltas", {}).get(table, {})
+        dschema = T.StructType(
+            list(schema.fields) + [T.StructField("__iia", T.BooleanType(), True)]
+        )
+        cols = [f.name for f in schema.fields]
+        frames = []
+        for v in sorted({v for b in buckets for v in dmap.get(b, [])}):
+            paths = [
+                os.path.join(self.root, table, f"d{v}", f"bucket={b}")
+                for b in buckets
+                if v in dmap.get(b, [])
+            ]
+            frames.append(
+                self.spark.read.schema(dschema)
+                .parquet(*paths)
+                .select(
+                    *cols,
+                    F.when(F.col("__iia"), F.lit(0)).otherwise(F.lit(2)).alias("__kind"),
+                    F.lit(v).alias("__ver"),
+                )
+            )
+        return functools.reduce(DataFrame.unionByName, frames)
+
+    @staticmethod
+    def _resolve_newest_wins(tagged: DataFrame, keys: list, cols: list) -> DataFrame:
+        """Winner per key over __kind/__ver-tagged rows: latest upsert beats
+        base beats earliest insert (an insert only ever landed when no row
+        existed; a later insert on a present key was a no-op — tryInsert)."""
+        w = Window.partitionBy(*keys).orderBy(
+            F.col("__kind").desc(),
+            F.when(F.col("__kind") == 2, F.col("__ver")).otherwise(-F.col("__ver")).desc(),
+        )
+        return (
+            tagged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(cols)
+        )
+
+    def _read_mutable(self, manifest: dict, table: str) -> DataFrame:
+        schema, keys = MUTABLE_TABLES[table]
+        cols = [f.name for f in schema.fields]
+        bmap: dict = manifest["mutable"][table]
+        dmap: dict = manifest.get("mutable_deltas", {}).get(table, {})
+        dirty = sorted((b for b in set(bmap) | set(dmap) if dmap.get(b)), key=int)
+        if not bmap and not dirty:
+            return self._empty(schema)
+        parts = []
+        clean = {b: v for b, v in bmap.items() if b not in set(dirty)}
+        if clean:
+            # buckets with no outstanding deltas: plain pruned scan, full
+            # filter pushdown — the steady post-compaction fast path
+            parts.append(self._base_scan(table, clean, schema))
+        if dirty:
+            deltas = self._delta_scan(manifest, table, dirty)
+            base_bmap = {b: bmap[b] for b in dirty if b in bmap}
+            drows_map = manifest.get("delta_rows", {}).get(table, {})
+            vers = {v for b in dirty for v in dmap.get(b, [])}
+            # missing counts (legacy manifest) force the window path
+            drows = sum(drows_map.get(str(v), self.delta_broadcast_rows + 1) for v in vers)
+            if base_bmap and drows <= self.delta_broadcast_rows:
+                # small outstanding delta: split the base on broadcast delta
+                # keys — untouched keys stream straight through (pushdown
+                # preserved, zero base shuffle); only overlap∪deltas pay the
+                # newest-wins window
+                base = self._base_scan(table, base_bmap, schema)
+                dkeys = deltas.select(*keys).distinct()
+                parts.append(base.join(F.broadcast(dkeys), keys, "left_anti"))
+                overlap = (
+                    base.join(F.broadcast(dkeys), keys, "left_semi")
+                    .withColumn("__kind", F.lit(1))
+                    .withColumn("__ver", F.lit(0))
+                )
+                parts.append(
+                    self._resolve_newest_wins(overlap.unionByName(deltas), keys, cols)
+                )
+            else:
+                tagged = deltas
+                if base_bmap:
+                    tagged = (
+                        self._base_scan(table, base_bmap, schema)
+                        .withColumn("__kind", F.lit(1))
+                        .withColumn("__ver", F.lit(0))
+                        .unionByName(deltas)
+                    )
+                parts.append(self._resolve_newest_wins(tagged, keys, cols))
+        return functools.reduce(DataFrame.unionByName, parts)
+
+    def read_keys(self, table: str, cols: list | None = None, staged: bool = False) -> DataFrame:
+        """Key-presence view of a mutable table: base ∪ delta rows WITHOUT
+        newest-wins resolution (may contain duplicate keys).  Sound for
+        existence checks / semi- / anti-joins because merges never delete a
+        key — far cheaper than ``read`` (no window, no broadcast join)."""
+        manifest = self._staged if staged else self.manifest
+        schema, keys = MUTABLE_TABLES[table]
+        cols = cols or keys
+        bmap: dict = manifest["mutable"][table]
+        dmap: dict = manifest.get("mutable_deltas", {}).get(table, {})
+        dirty = sorted((b for b in set(bmap) | set(dmap) if dmap.get(b)), key=int)
+        parts = []
+        if bmap:
+            parts.append(self._base_scan(table, bmap, schema).select(cols))
+        if dirty:
+            parts.append(self._delta_scan(manifest, table, dirty).select(cols))
+        if not parts:
+            return self._empty(schema).select(cols)
+        return functools.reduce(DataFrame.unionByName, parts)
+
+    # ---- append read path
     def _read_append(self, manifest: dict, table: str, buckets) -> DataFrame:
         """Append-table scan, optionally pruned to a bucket subset (J6/J7
         read only the buckets the current wave touches)."""
@@ -342,6 +520,11 @@ class StateStore:
         par = self.spark.sparkContext.defaultParallelism
         path = os.path.join(self.root, table, f"wave={wave}")
         if table in BUCKETED_APPEND:
+            # a retried wave reuses the wave number: clear any partial
+            # previous attempt so the post-write dir listing can't resurrect
+            # stale bucket dirs into the manifest (dynamic partition
+            # overwrite only replaces buckets present in THIS write)
+            shutil.rmtree(path, ignore_errors=True)
             out = out.withColumn("bucket", self._bucket_col(out, table))
             if table in ("warc_records", "screenshots"):
                 # payload-heavy: avoid a full-body shuffle — sort within the
@@ -387,41 +570,40 @@ class StateStore:
         table: str,
         delta: DataFrame,
         mode: str = "upsert",
-    ) -> int:
-        """Partition-level copy-on-write MERGE (Iceberg ``MERGE INTO`` analog).
+    ) -> dict:
+        """Bucket-level merge-on-read MERGE (Iceberg ``MERGE INTO`` analog).
 
         mode='upsert'      → WHEN MATCHED UPDATE (delta row wins) + INSERT
         mode='insert_if_absent' → WHEN NOT MATCHED INSERT (existing row wins;
                               the reference's tryInsert, ``Database.java:186-200``)
 
-        Only buckets present in the delta are rewritten.  Returns the number
-        of buckets rewritten (lineage metric); per-mode/tag row counts land
-        in ``self.last_merge_stats``.
+        Writes O(delta): one delta file per touched bucket; resolution
+        happens at read time (newest-wins) and chains auto-compact past
+        ``delta_chain_k``.  Returns the merge stats dict (``buckets``,
+        ``upsert_rows``, ``insert_rows``, ``rows_by_tag``).
         """
         if mode == "upsert":
-            st = self._merge_cow(table, upsert=delta, insert=None)
-        elif mode == "insert_if_absent":
-            st = self._merge_cow(table, upsert=None, insert=delta)
-        else:
-            raise ValueError(mode)
-        return st["buckets"]
+            return self._merge_mor(table, upsert=delta, insert=None)
+        if mode == "insert_if_absent":
+            return self._merge_mor(table, upsert=None, insert=delta)
+        raise ValueError(mode)
 
     def merge_mixed(self, table: str, upsert: DataFrame, insert: DataFrame) -> dict:
-        """One COW pass combining an UPDATE delta and an INSERT-IF-ABSENT
-        delta (one bucket-discovery job + one write instead of two of each).
-        An insert key colliding with an existing row OR an upsert key is
-        dropped (existing/updated row wins — tryInsert semantics).  Returns
-        ``last_merge_stats``."""
-        return self._merge_cow(table, upsert=upsert, insert=insert)
+        """One merge combining an UPDATE delta and an INSERT-IF-ABSENT delta
+        (one bucket-discovery job + one delta write instead of two of each).
+        An insert key colliding with an existing row OR an upsert key loses
+        (existing/updated row wins — tryInsert semantics).  Returns
+        the merge stats dict."""
+        return self._merge_mor(table, upsert=upsert, insert=insert)
 
-    def _merge_cow(self, table: str, upsert: DataFrame | None, insert: DataFrame | None) -> dict:
-        """Shared COW merge core.
+    def _merge_mor(self, table: str, upsert: DataFrame | None, insert: DataFrame | None) -> dict:
+        """Shared merge core: stats job + delta write (+ fresh-base fast
+        path + auto-compaction).
 
         Deltas may carry an optional ``__tag`` string column: row counts per
         (mode, tag) are collected in the same job that discovers touched
-        buckets and reported in ``last_merge_stats["rows_by_tag"]`` — callers
-        get per-subset counts (parked / discovered / …) without extra
-        actions.
+        buckets and reported in ``stats["rows_by_tag"]`` — callers get
+        per-subset counts (parked / discovered / …) without extra actions.
         """
         schema, keys = MUTABLE_TABLES[table]
         cols = [f.name for f in schema.fields]
@@ -467,52 +649,47 @@ class StateStore:
             delta.unpersist()
             return stats
         with self._mlock:
-            bmap: dict = self._staged["mutable"][table]
-            by_ver: dict[int, list[str]] = {}
-            for b in touched:
-                sb = str(b)
-                if sb in bmap:
-                    by_ver.setdefault(bmap[sb], []).append(sb)
-        if by_ver:
-            paths = [
-                os.path.join(self.root, table, f"v{v}", f"bucket={b}")
-                for v, bs in by_ver.items()
-                for b in bs
-            ]
-            current = self.spark.read.schema(schema).parquet(*paths)
-        else:
-            current = self._empty(schema)
-
-        ups = delta.filter(~F.col("__iia")).select(cols)
-        ins = delta.filter(F.col("__iia")).select(cols)
-        # wave deltas are millions of keys — broadcasting them would funnel
-        # the whole delta through the driver (collect + hash build, serial).
-        # shuffle_hash keeps the anti-joins fully parallel and avoids the
-        # sort-merge sort as well.
-        merged = current
-        if up_rows:
-            merged = current.join(
-                ups.select(keys).distinct().hint("shuffle_hash"), keys, "left_anti"
-            ).unionByName(ups)
-        if ins_rows:
-            new_rows = ins.join(
-                current.select(keys).distinct().hint("shuffle_hash"), keys, "left_anti"
-            )
-            if up_rows:
-                # updated keys are existing rows — tryInsert loses to them too
-                new_rows = new_rows.join(
-                    ups.select(keys).distinct().hint("shuffle_hash"), keys, "left_anti"
-                )
-            # first-wins within the delta itself (duplicate discoveries in one wave)
-            merged = merged.unionByName(new_rows.dropDuplicates(keys))
-
-        with self._mlock:
             version = self._staged["next_version"][table]
             self._staged["next_version"][table] = version + 1
-        out = merged.withColumn("bucket", F.pmod(F.col("origin_id"), F.lit(self.buckets)).cast("int"))
-        target = os.path.join(self.root, table, f"v{version}")
-        # one write partition per touched bucket: 32 tasks keep 16+ cores
-        # busy; capping at defaultParallelism starved the 4N cluster
+            bmap: dict = self._staged["mutable"][table]
+            dmap: dict = self._staged.setdefault("mutable_deltas", {}).setdefault(table, {})
+            fresh = all(str(b) not in bmap and not dmap.get(str(b)) for b in touched)
+        if fresh:
+            # no prior state in any touched bucket (seeding / first write):
+            # resolve within the delta and write it directly as BASE — the
+            # table stays clean and reads keep full filter pushdown
+            ups = delta.filter(~F.col("__iia")).select(cols)
+            out = ups
+            if ins_rows:
+                ins = delta.filter(F.col("__iia")).select(cols)
+                if up_rows:
+                    new_rows = ins.join(
+                        ups.select(keys).distinct().hint("shuffle_hash"), keys, "left_anti"
+                    )
+                else:
+                    new_rows = ins
+                # first-wins within the delta (duplicate discoveries in one wave)
+                out = out.unionByName(new_rows.dropDuplicates(keys)) if up_rows else new_rows.dropDuplicates(keys)
+            out = out.withColumn("bucket", self._bucket_col(out, table))
+            target = os.path.join(self.root, table, f"v{version}")
+            (
+                out.repartition(max(1, len(touched)), "bucket")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(target)
+            )
+            delta.unpersist()
+            with self._mlock:
+                for b in touched:
+                    bmap[str(b)] = version
+            return stats
+
+        # MoR delta write: O(delta) — one file per touched bucket, no read
+        # of the existing table at all
+        out = delta.select(
+            *cols, F.col("__iia"), F.col("__bucket").alias("bucket")
+        )
+        target = os.path.join(self.root, table, f"d{version}")
         (
             out.repartition(max(1, len(touched)), "bucket")
             .write.mode("overwrite")
@@ -522,9 +699,64 @@ class StateStore:
         delta.unpersist()
         with self._mlock:
             for b in touched:
-                bmap[str(b)] = version
+                dmap.setdefault(str(b), []).append(version)
+            self._staged.setdefault("delta_rows", {}).setdefault(table, {})[str(version)] = (
+                up_rows + ins_rows
+            )
+            over = [b for b in touched if len(dmap[str(b)]) > self.delta_chain_k]
+        if over:
+            self.compact(table, over)
         return stats
 
+    def compact(self, table: str, buckets: list | None = None) -> int:
+        """Fold delta chains into new base files (Iceberg
+        ``rewrite_data_files``).  Restricted to ``buckets`` when given, else
+        every bucket with an outstanding chain.  Old base/delta files become
+        orphans (ignored via the manifest; vacuum-style cleanup applies).
+        Returns the number of buckets compacted."""
+        schema, keys = MUTABLE_TABLES[table]
+        cols = [f.name for f in schema.fields]
+        with self._mlock:
+            bmap: dict = self._staged["mutable"][table]
+            dmap: dict = self._staged.setdefault("mutable_deltas", {}).setdefault(table, {})
+            want = None if buckets is None else {str(b) for b in buckets}
+            targets = sorted(
+                (b for b, ch in dmap.items() if ch and (want is None or b in want)), key=int
+            )
+            if not targets:
+                return 0
+            version = self._staged["next_version"][table]
+            self._staged["next_version"][table] = version + 1
+        deltas = self._delta_scan(self._staged, table, targets)
+        base_bmap = {b: bmap[b] for b in targets if b in bmap}
+        tagged = deltas
+        if base_bmap:
+            tagged = (
+                self._base_scan(table, base_bmap, schema)
+                .withColumn("__kind", F.lit(1))
+                .withColumn("__ver", F.lit(0))
+                .unionByName(deltas)
+            )
+        resolved = self._resolve_newest_wins(tagged, keys, cols)
+        out = resolved.withColumn("bucket", self._bucket_col(resolved, table))
+        target = os.path.join(self.root, table, f"v{version}")
+        (
+            out.repartition(max(1, len(targets)), "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(target)
+        )
+        with self._mlock:
+            for b in targets:
+                bmap[b] = version
+                dmap[b] = []
+            # prune row counts of versions no chain references anymore
+            live = {v for ch in dmap.values() for v in ch}
+            drows = self._staged.setdefault("delta_rows", {}).setdefault(table, {})
+            for v in [v for v in drows if int(v) not in live]:
+                del drows[v]
+        return len(targets)
+
     def overwrite(self, table: str, df: DataFrame) -> int:
-        """Full-table rewrite (seeding / small dimension tables)."""
-        return self.merge(table, df, mode="upsert")
+        """Full-table upsert (seeding / small dimension tables)."""
+        return self.merge(table, df, mode="upsert")["buckets"]

@@ -43,23 +43,75 @@ def test_merge_upsert_and_insert_if_absent(spark, store):
     assert rows == {1: 9999, 2: 1000, 3: 1000}
 
 
-def test_partition_level_rewrite(spark, store):
-    # seed rows across all 8 buckets
+def test_partition_level_merge_on_read(spark, store):
+    # seed rows across all 8 buckets — fresh table, lands as clean base
     df = spark.createDataFrame(
         [_origin_row(i, f"http://h{i}") for i in range(16)],
         schema=store.read("origins").schema,
     )
-    assert store.merge("origins", df, "upsert") == 8
+    assert store.merge("origins", df, "upsert")["buckets"] == 8
     store.commit(0)
-    # a delta touching only bucket 3 rewrites exactly 1 bucket
+    m = json.load(open(os.path.join(store.root, "manifest.json")))
+    assert set(m["mutable"]["origins"].values()) == {0}
+    assert all(not ch for ch in m["mutable_deltas"]["origins"].values())
+
+    # a delta touching only bucket 3 writes ONE delta file — base untouched
     delta = spark.createDataFrame([_origin_row(3, "http://h3", nv=5)], df.schema)
-    assert store.merge("origins", delta, "upsert") == 1
+    assert store.merge("origins", delta, "upsert")["buckets"] == 1
     store.commit(1)
     m = json.load(open(os.path.join(store.root, "manifest.json")))
-    versions = set(m["mutable"]["origins"].values())
-    assert versions == {0, 1}  # 7 buckets still on v0, bucket 3 on v1
+    assert set(m["mutable"]["origins"].values()) == {0}  # base versions unchanged
+    assert m["mutable_deltas"]["origins"]["3"] == [1]  # bucket 3 chain has the delta
+    assert os.path.isdir(os.path.join(store.root, "origins", "d1", "bucket=3"))
     rows = {r["origin_id"]: r["next_visit"] for r in store.read("origins").collect()}
     assert rows[3] == 5 and rows[4] == 1000 and len(rows) == 16
+
+
+def test_delta_chain_newest_wins_and_compaction(spark, store):
+    schema = store.read("origins").schema
+    store.merge("origins", spark.createDataFrame([_origin_row(1, "http://a", nv=1)], schema), "upsert")
+    # stack several delta versions on the same key
+    for nv in (2, 3, 4):
+        store.merge("origins", spark.createDataFrame([_origin_row(1, "http://a", nv=nv)], schema), "upsert")
+    # a later insert_if_absent must LOSE to the existing row (tryInsert)
+    store.merge("origins", spark.createDataFrame([_origin_row(1, "http://a", nv=99)], schema), "insert_if_absent")
+    # an insert_if_absent for a brand-new key must land
+    store.merge("origins", spark.createDataFrame([_origin_row(2, "http://b", nv=7)], schema), "insert_if_absent")
+    store.commit(0)
+    rows = {r["origin_id"]: r["next_visit"] for r in store.read("origins").collect()}
+    assert rows == {1: 4, 2: 7}
+
+    # compaction folds chains into a clean base and preserves the data
+    assert store.compact("origins") > 0
+    store.commit(1)
+    m = json.load(open(os.path.join(store.root, "manifest.json")))
+    assert all(not ch for ch in m["mutable_deltas"]["origins"].values())
+    assert m["delta_rows"]["origins"] == {}  # version row counts pruned
+    rows = {r["origin_id"]: r["next_visit"] for r in store.read("origins").collect()}
+    assert rows == {1: 4, 2: 7}
+
+
+def test_auto_compaction_bounds_chain(spark, tmp_path):
+    from chronicrawl_spark.tables import StateStore
+
+    store = StateStore(spark, str(tmp_path / "k"), buckets=4, delta_chain_k=2)
+    schema = store.read("origins").schema
+    store.merge("origins", spark.createDataFrame([_origin_row(1, "http://a", nv=0)], schema), "upsert")
+    for nv in range(1, 6):
+        store.merge("origins", spark.createDataFrame([_origin_row(1, "http://a", nv=nv)], schema), "upsert")
+        chain = store._staged["mutable_deltas"]["origins"].get(str(1 % 4), [])
+        assert len(chain) <= 2  # chain never exceeds delta_chain_k
+    store.commit(0)
+    rows = {r["origin_id"]: r["next_visit"] for r in store.read("origins").collect()}
+    assert rows == {1: 5}
+
+
+def test_read_keys_presence_view(spark, store):
+    schema = store.read("origins").schema
+    store.merge("origins", spark.createDataFrame([_origin_row(1, "http://a")], schema), "upsert")
+    store.merge("origins", spark.createDataFrame([_origin_row(1, "http://a", nv=2), _origin_row(2, "http://b")], schema), "upsert")
+    keys = {r["origin_id"] for r in store.read_keys("origins", staged=True).collect()}
+    assert keys == {1, 2}  # both keys visible (duplicates allowed)
 
 
 def test_append_and_crash_isolation(spark, store):
