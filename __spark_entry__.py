@@ -970,12 +970,19 @@ def q_crawl_fixture_trace(spark, sf_dir):
 
 def q_image_decode_verify(spark, sf_dir):
     """Image payload plumbing: binary column → Arrow batch → numpy decode →
-    phash/caption verification (input_hint per-row invariant).  BMP decode
-    is real; jpeg/gif are stubbed (no imaging libs in sandbox)."""
+    phash/caption/PSNR verification (input_hint per-row invariant).  BMP,
+    PNG and baseline-JPEG decodes are real from-scratch codecs; jpeg rows
+    exercise the SURVEY §1.3 lossy invariant (PSNR ≥ 40 dB vs the pristine
+    source)."""
     import pandas as pd
     from pyspark.sql import types as T
 
-    from chronicrawl_spark.extras.imaging import decode_image, phash64, psnr
+    from chronicrawl_spark.extras.imaging import (
+        decode_image,
+        make_smooth_image,
+        phash64,
+        psnr,
+    )
     from chronicrawl_spark.fixtures import make_images, make_test_image
 
     imgs = make_images(spark, n=16, w=32, h=24)
@@ -994,7 +1001,8 @@ def q_image_decode_verify(spark, sf_dir):
             out = []
             for r in pdf.to_dict("records"):
                 px = decode_image(bytes(r["bytes"]), r["fmt"])
-                ref = make_test_image(r["w"], r["h"], seed=int(r["image_id"][3:]))
+                gen = make_smooth_image if r["fmt"] == "jpeg" else make_test_image
+                ref = gen(r["w"], r["h"], seed=int(r["image_id"][3:]))
                 out.append(
                     (
                         r["image_id"],

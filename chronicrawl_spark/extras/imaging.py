@@ -29,7 +29,10 @@ import numpy as np
 
 
 def make_test_image(w: int, h: int, seed: int = 0) -> np.ndarray:
-    """Deterministic synthetic image (no RNG): seeded interference pattern."""
+    """Deterministic synthetic image (no RNG): seeded interference pattern.
+    The ``% 256`` wraps create 255-step pixel cliffs — ideal for exercising
+    the LOSSLESS codecs, pathological for DCT quantization (use
+    ``make_smooth_image`` for lossy-format fixtures)."""
     x = np.arange(w, dtype=np.float64)[None, :]
     y = np.arange(h, dtype=np.float64)[:, None]
     s = float(seed % 97 + 1)
@@ -40,6 +43,23 @@ def make_test_image(w: int, h: int, seed: int = 0) -> np.ndarray:
         [np.broadcast_to(r, (h, w)), np.broadcast_to(g, (h, w)), np.broadcast_to(b, (h, w))],
         axis=-1,
     ).astype(np.uint8)
+
+
+def make_smooth_image(w: int, h: int, seed: int = 0) -> np.ndarray:
+    """Deterministic band-limited image (bounded sinusoids, no wraparound
+    cliffs) — the photographic-content stand-in for lossy-codec fixtures;
+    baseline JPEG at quality 95 keeps PSNR ≥ 40 dB on these."""
+    x = np.arange(w, dtype=np.float64)[None, :]
+    y = np.arange(h, dtype=np.float64)[:, None]
+    s = float(seed % 97 + 1)
+    r = 127.5 + 70 * np.sin(x / (6.0 + s % 5) + s) + 40 * np.cos(y / (7.0 + s % 3))
+    g = 127.5 + 60 * np.cos((x + y) / (9.0 + s % 4) - s) + 30 * np.sin(y / 5.0)
+    b = 127.5 + 50 * np.sin(x / 8.0) * np.cos(y / (6.0 + s % 2)) + 20 * np.sin(s + x / 11.0)
+    rgb = np.stack(
+        [np.broadcast_to(r, (h, w)), np.broadcast_to(g, (h, w)), np.broadcast_to(b, (h, w))],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 # ------------------------------------------------------------------ BMP codec
@@ -191,15 +211,460 @@ def decode_png(data: bytes) -> np.ndarray:
     return px[:, :, :3].copy()
 
 
+# ----------------------------------------------------------------- JPEG codec
+# Baseline sequential DCT JPEG from the public ITU-T T.81 spec: Annex K
+# quantization + Huffman tables, JFIF markers, 4:4:4 encode (no chroma
+# subsampling — maximizes fidelity for the PSNR≥40dB invariant), decoder
+# handles arbitrary sampling factors (replication upsampling), restart
+# markers, and multi-scan-free baseline streams.  All block math (DCT /
+# IDCT / quantization) is vectorized numpy over all blocks at once; the
+# entropy coder is per-symbol Python — fine for the fixture thumbnails, and
+# at cluster scale you'd ship libjpeg-turbo and swap only this dispatch.
+
+# Annex K.1/K.2 quantization tables (luminance, chrominance)
+_JPEG_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.float64)
+_JPEG_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.float64)
+
+# zigzag scan order (index i of the zigzag sequence → raster position)
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+_UNZIGZAG = np.argsort(_ZIGZAG)
+
+# Annex K.3 typical Huffman tables: (BITS counts for lengths 1..16, HUFFVAL)
+_HT_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_HT_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_HT_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+     0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+     0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+     0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+     0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+_HT_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+     0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+     0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+     0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+     0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+     0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    n = np.arange(8)
+    C = np.cos(np.pi * (2 * n[None, :] + 1) * n[:, None] / 16) * np.sqrt(2 / 8)
+    C[0] = 1 / np.sqrt(8)
+    return C
+
+
+_DCT = _dct_matrix()
+
+
+def _huff_codes(bits, vals):
+    """Canonical Huffman: value -> (code, length)."""
+    out, code = {}, 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _quality_tables(quality: int):
+    q = max(1, min(100, quality))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    tl = np.clip((_JPEG_QT_LUMA * scale + 50) // 100, 1, 255)
+    tc = np.clip((_JPEG_QT_CHROMA * scale + 50) // 100, 1, 255)
+    return tl, tc
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    r, g, b = px[:, :, 0].astype(np.float64), px[:, :, 1].astype(np.float64), px[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) → (nby, nbx, 8, 8) with edge-replication padding."""
+    h, w = plane.shape
+    ph, pw = -h % 8, -w % 8
+    p = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    H, W = p.shape
+    return p.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            self.write(0x7F, 8 - self.n)  # pad with 1s
+        return bytes(self.buf)
+
+
+def _mag_bits(v: int):
+    """(size, code-bits) for a DC diff / AC coefficient value."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    return size, (v if v > 0 else v + (1 << size) - 1)
+
+
+def encode_jpeg(px: np.ndarray, quality: int = 92) -> bytes:
+    """Baseline JFIF JPEG, 4:4:4, Annex K tables scaled by ``quality``."""
+    h, w, _ = px.shape
+    tl, tc = _quality_tables(quality)
+    ycc = _rgb_to_ycbcr(px) - 128.0
+    dc_tabs = [_huff_codes(*_HT_DC_LUMA), _huff_codes(*_HT_DC_CHROMA)]
+    ac_tabs = [_huff_codes(*_HT_AC_LUMA), _huff_codes(*_HT_AC_CHROMA)]
+    comp_q = [tl, tc, tc]
+    comp_t = [0, 1, 1]
+
+    # vectorized DCT + quantization per component: (nby*nbx, 64) zigzagged ints
+    coefs = []
+    for c in range(3):
+        bl = _blocks(ycc[:, :, c])
+        nby, nbx = bl.shape[:2]
+        flat = bl.reshape(-1, 8, 8)
+        F8 = _DCT @ flat @ _DCT.T
+        qt = comp_q[c].reshape(8, 8)
+        qd = np.round(F8 / qt).astype(np.int32).reshape(-1, 64)[:, _ZIGZAG]
+        coefs.append(qd)
+
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    n_blocks = coefs[0].shape[0]
+    for bi in range(n_blocks):  # 4:4:4 MCU = one block per component
+        for c in range(3):
+            z = coefs[c][bi]
+            dct_t, act_t = dc_tabs[comp_t[c]], ac_tabs[comp_t[c]]
+            diff = int(z[0]) - preds[c]
+            preds[c] = int(z[0])
+            size, bits = _mag_bits(diff)
+            code, ln = dct_t[size]
+            bw.write(code, ln)
+            if size:
+                bw.write(bits, size)
+            run = 0
+            last_nz = int(np.max(np.nonzero(z)[0])) if np.any(z[1:]) else 0
+            for k in range(1, 64):
+                v = int(z[k])
+                if v == 0:
+                    if k > last_nz:
+                        code, ln = act_t[0x00]  # EOB
+                        bw.write(code, ln)
+                        break
+                    run += 1
+                    if run == 16:
+                        code, ln = act_t[0xF0]  # ZRL
+                        bw.write(code, ln)
+                        run = 0
+                    continue
+                size, bits = _mag_bits(v)
+                code, ln = act_t[(run << 4) | size]
+                bw.write(code, ln)
+                bw.write(bits, size)
+                run = 0
+    entropy = bw.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def dqt(tid, table):
+        return seg(0xDB, bytes([tid]) + bytes(int(table[i]) for i in _ZIGZAG))
+
+    def dht(cls, tid, bits, vals):
+        return seg(0xC4, bytes([(cls << 4) | tid] + bits + vals))
+
+    sof = seg(
+        0xC0,
+        bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+        + bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]),
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    jfif = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    return (
+        b"\xFF\xD8" + jfif + dqt(0, tl) + dqt(1, tc)
+        + dht(0, 0, *_HT_DC_LUMA) + dht(1, 0, *_HT_AC_LUMA)
+        + dht(0, 1, *_HT_DC_CHROMA) + dht(1, 1, *_HT_AC_CHROMA)
+        + sof + sos + entropy + b"\xFF\xD9"
+    )
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self):
+        while self.n <= 24 and self.pos < len(self.data):
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    # marker (EOI / RSTn boundary handled by caller): feed 0s
+                    self.pos -= 1
+                    b = 0
+                    self.acc = (self.acc << 8) | b
+                    self.n += 8
+                    continue
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+
+    def read(self, length: int) -> int:
+        if length == 0:
+            return 0
+        self._fill()
+        if self.n < length:
+            self.acc <<= length - self.n
+            self.n = length
+        v = (self.acc >> (self.n - length)) & ((1 << length) - 1)
+        self.n -= length
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def align(self):
+        self.n = 0
+        self.acc = 0
+
+
+def _huff_decode_table(bits, vals):
+    """length -> {code: symbol} nested lookup for sequential decoding."""
+    table = {}
+    code, i = 0, 0
+    for length in range(1, 17):
+        lt = {}
+        for _ in range(bits[length - 1]):
+            lt[code] = vals[i]
+            code += 1
+            i += 1
+        if lt:
+            table[length] = lt
+        code <<= 1
+    return table
+
+
+def _read_symbol(br: _BitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read(1)
+        lt = table.get(length)
+        if lt is not None and code in lt:
+            return lt[code]
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline sequential JPEG decoder (T.81): arbitrary sampling factors,
+    restart markers, Annex-B marker framing.  Progressive (SOF2) raises."""
+    if data[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qts = {}
+    hts = {}
+    comps = None
+    h = w = None
+    restart_interval = 0
+    scan = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack_from(">H", data, pos)
+        body = data[pos + 2 : pos + ln]
+        pos += ln
+        if marker == 0xDB:
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 15
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                t = np.zeros(64)
+                t[_ZIGZAG] = np.frombuffer(body, np.uint8, 64, off + 1)
+                qts[tq] = t
+                off += 65
+        elif marker == 0xC4:
+            off = 0
+            while off < len(body):
+                cls, tid = body[off] >> 4, body[off] & 15
+                bits = list(body[off + 1 : off + 17])
+                nv = sum(bits)
+                vals = list(body[off + 17 : off + 17 + nv])
+                hts[(cls, tid)] = _huff_decode_table(bits, vals)
+                off += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:
+            _prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i], body[7 + 3 * i], body[8 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive JPEG unsupported (baseline decoder)")
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", body)[0]
+        elif marker == 0xDA:
+            ns = body[0]
+            sel = {}
+            for i in range(ns):
+                cid, tabs = body[1 + 2 * i], body[2 + 2 * i]
+                sel[cid] = (tabs >> 4, tabs & 15)
+            scan = (pos, sel)
+            break
+    if comps is None or scan is None:
+        raise ValueError("missing SOF/SOS")
+    scan_start, sel = scan
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = []
+    for c in comps:
+        planes.append(np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8)))
+    br = _BitReader(data[scan_start:])
+    preds = [0] * len(comps)
+    mcu_n = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                br.align()
+                # skip the RSTn marker
+                while br.pos < len(br.data) and br.data[br.pos] != 0xFF:
+                    br.pos += 1
+                if br.pos + 1 < len(br.data) and 0xD0 <= br.data[br.pos + 1] <= 0xD7:
+                    br.pos += 2
+                preds = [0] * len(comps)
+            mcu_n += 1
+            for ci, c in enumerate(comps):
+                dct_t = hts[(0, sel[c["id"]][0])]
+                act_t = hts[(1, sel[c["id"]][1])]
+                qt = qts[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        z = np.zeros(64)
+                        size = _read_symbol(br, dct_t)
+                        diff = _extend(br.read(size), size) if size else 0
+                        preds[ci] += diff
+                        z[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _read_symbol(br, act_t)
+                            if sym == 0x00:
+                                break
+                            run, size = sym >> 4, sym & 15
+                            if size == 0:
+                                if run == 15:
+                                    k += 16
+                                    continue
+                                break
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            z[k] = _extend(br.read(size), size)
+                            k += 1
+                        # z is zigzag-ordered, qt raster-ordered: unzigzag first
+                        blk = (z[_UNZIGZAG] * qt).reshape(8, 8)
+                        pxb = _DCT.T @ blk @ _DCT + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pxb
+    # upsample to full resolution (pixel replication) and crop
+    full = []
+    for ci, c in enumerate(comps):
+        fy, fx = vmax // c["v"], hmax // c["h"]
+        p = np.repeat(np.repeat(planes[ci], fy, axis=0), fx, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        y = full[0]
+        rgb = np.stack([y, y, y], axis=-1)
+    else:
+        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
-    """Format dispatch.  bmp and png are real from-scratch codecs; jpeg/gif
-    are STUBS in this sandbox (no imaging libs) — on a cluster, ship PIL via
-    --archives and replace the raise with ``PIL.Image.open``."""
+    """Format dispatch.  bmp, png and (baseline) jpeg are real from-scratch
+    codecs; gif is the one remaining STUB in this sandbox (absent from the
+    fixture content mix) — on a cluster, ship PIL via --archives and extend
+    this dispatch."""
     f = (fmt or "").lower()
     if f == "bmp":
         return decode_bmp(data)
     if f == "png":
         return decode_png(data)
+    if f in ("jpeg", "jpg"):
+        return decode_jpeg(data)
     raise NotImplementedError(f"decode for {fmt!r} is stubbed in the sandbox (no imaging libs)")
 
 

@@ -16,7 +16,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .extras.imaging import encode_bmp, encode_png, make_test_image, phash64
+from .extras.imaging import (
+    decode_jpeg,
+    encode_bmp,
+    encode_jpeg,
+    encode_png,
+    make_smooth_image,
+    make_test_image,
+    phash64,
+)
 from .functions.hashing import hash_str
 
 SITE_SCHEMA = T.StructType(
@@ -81,17 +89,24 @@ IMAGES_SCHEMA = T.StructType(
 
 
 def make_images(spark: SparkSession, n: int = 8, w: int = 32, h: int = 24) -> DataFrame:
-    """Deterministic image+caption table (input_hint shape).  Rows alternate
-    BMP and PNG — both lossless from-scratch codecs (extras/imaging.py);
-    jpeg/gif decode stays stubbed (no imaging libs in the sandbox)."""
+    """Deterministic image+caption table (input_hint shape).  Rows cycle
+    BMP / PNG / baseline-JPEG — all three from-scratch codecs
+    (extras/imaging.py).  Lossless rows store the phash of the source
+    pixels; jpeg rows store the phash of the DECODED pixels (the decoder in
+    the pipeline must reproduce it bit-for-bit) and carry the PSNR ≥ 40 dB
+    lossy invariant against the pristine source instead."""
     rows = []
     for i in range(n):
-        px = make_test_image(w, h, seed=i)
-        fmt = "png" if i % 2 else "bmp"
-        data = encode_png(px) if fmt == "png" else encode_bmp(px)
-        rows.append(
-            (f"img{i:04d}", data, w, h, fmt, f"caption for image {i}", phash64(px))
-        )
+        fmt = ("bmp", "png", "jpeg")[i % 3]
+        if fmt == "jpeg":
+            px = make_smooth_image(w, h, seed=i)
+            data = encode_jpeg(px, quality=95)
+            ph = phash64(decode_jpeg(data))
+        else:
+            px = make_test_image(w, h, seed=i)
+            data = encode_png(px) if fmt == "png" else encode_bmp(px)
+            ph = phash64(px)
+        rows.append((f"img{i:04d}", data, w, h, fmt, f"caption for image {i}", ph))
     return spark.createDataFrame(rows, IMAGES_SCHEMA)
 
 

@@ -134,13 +134,23 @@ class ParsedUrl:
 
     @property
     def ssurt(self) -> str:
-        """SSURT-style sort key (reversed host labels). Used ONLY for ordering
-        (ref ``Url.java:130-140``, ``Analysis.java:36-37``); byte-parity with
-        java-urlcanon's ssurt is not required, ordering consistency is."""
+        """SSURT form (ref ``Url.java:130-140``, ``Analysis.java:36-37``,
+        which delegate to urlcanon's ``ParsedUrl.ssurt()``).
+
+        Implements the grammar of the PUBLIC ssurt spec (iipc/urlcanon
+        ``ssurt.rst``): ``ssurt_host "//" [port] ":" scheme ["@" userinfo]
+        ":" path ["?" query]`` where ``ssurt_host`` is the dotted host with
+        labels reversed, comma-joined, trailing comma — except IP addresses,
+        which stay verbatim (no reversal, no comma).  The field order
+        (host, port, scheme) is what makes the lexicographic sort group a
+        host's captures together across ports/schemes — the property U3/U4
+        and the link-set ordering rely on.  Userinfo never appears here
+        because ``parse_canonical`` strips it for identity.  Golden vectors
+        derived from the spec grammar are pinned in test_urlkit."""
         labels = self.host.split(".")
-        rev = ",".join(reversed(labels)) + ","
-        p = self.port or DEFAULT_PORTS.get(self.scheme, "")
-        return f"{rev}//{p}:{self.scheme}{self.pathref}"
+        is_ip = all(p.isdigit() for p in labels) and len(labels) == 4
+        rev = self.host if is_ip else ",".join(reversed(labels)) + ","
+        return f"{rev}//{self.port}:{self.scheme}:{self.pathref}"
 
 
 @lru_cache(maxsize=65536)

@@ -8,6 +8,7 @@ import pyspark.sql.functions as F
 
 from chronicrawl_spark.crawl import CrawlConfig, CrawlEngine
 from chronicrawl_spark.extras.imaging import decode_image, phash64, psnr
+from chronicrawl_spark.extras.imaging import make_smooth_image
 from chronicrawl_spark.fixtures import image_site, make_images, make_test_image
 from chronicrawl_spark.tables import StateStore
 
@@ -30,11 +31,11 @@ def test_image_crawl_end_to_end(spark, tmp_path):
     img_visits = [r for r in v if r["path"].startswith("/img/")]
     assert len(img_visits) == 4
     assert all(r["status"] == 200 for r in img_visits)
-    # fixture alternates the two real codecs (bmp even, png odd ids)
+    # fixture cycles the three real codecs (bmp/png/jpeg by image id)
     assert all(
         r["content_type"] == "image/" + r["path"].rsplit(".", 1)[1] for r in img_visits
     )
-    assert {r["content_type"] for r in img_visits} == {"image/bmp", "image/png"}
+    assert {r["content_type"] for r in img_visits} == {"image/bmp", "image/png", "image/jpeg"}
     # images were discovered as TRANSCLUSIONs from the gallery pages
     assert all(r["location_type"] == "TRANSCLUSION" for r in img_visits)
 
@@ -50,9 +51,13 @@ def test_image_crawl_end_to_end(spark, tmp_path):
         assert payload == bytes(src["bytes"])  # byte-identical through the pipeline
         px = decode_image(payload, src["fmt"])
         assert phash64(px) == src["phash"]
-        ref = make_test_image(src["w"], src["h"], seed=int(image_id[3:]))
-        assert psnr(px, ref) == float("inf")  # lossless: exact pixels
-        assert np.array_equal(px, ref)
+        gen = make_smooth_image if src["fmt"] == "jpeg" else make_test_image
+        ref = gen(src["w"], src["h"], seed=int(image_id[3:]))
+        if src["fmt"] == "jpeg":
+            assert psnr(px, ref) >= 40.0  # lossy invariant (SURVEY §1.3)
+        else:
+            assert psnr(px, ref) == float("inf")  # lossless: exact pixels
+            assert np.array_equal(px, ref)
 
     # caption round-trip: the gallery page payload carries the caption text
     pages = store.read("warc_records").filter(

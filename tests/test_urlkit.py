@@ -63,6 +63,34 @@ def test_resolve():
     )
 
 
+def test_ssurt_golden_vectors():
+    """Byte-level SSURT vectors, derived by hand from the public ssurt spec
+    grammar (iipc/urlcanon ssurt.rst): ``ssurt_host "//" [port] ":" scheme
+    ":" path ["?" query]``, ssurt_host = reversed comma-joined labels with
+    trailing comma (IP addresses verbatim).  Canonicalization (lowercase
+    host, default-port drop, empty path → '/') happens first, as in the
+    reference's ParsedUrl pipeline."""
+    vectors = {
+        "https://www.example.com/": "com,example,www,//:https:/",
+        "http://example.org/a?q=1": "org,example,//:http:/a?q=1",
+        "http://example.org:8080/a": "org,example,//8080:http:/a",
+        "HTTP://Example.ORG:80/a": "org,example,//:http:/a",  # default port dropped
+        "http://example.org": "org,example,//:http:/",  # empty path → '/'
+        "http://192.168.1.1/x": "192.168.1.1//:http:/x",  # IP not reversed
+        "https://a.b.example.co.uk/p/q?x=y": "uk,co,example,b,a,//:https:/p/q?x=y",
+    }
+    for url, want in vectors.items():
+        assert Url(url).ssurt == want, url
+    # port field precedes scheme: one host's captures stay contiguous and
+    # group by port first (digits sort before ':'), then scheme
+    hosts = sorted(Url(u).ssurt for u in [
+        "https://example.org/x", "http://example.org/x", "http://example.org:81/x",
+    ])
+    assert hosts[0].startswith("org,example,//81:")
+    assert hosts[1].startswith("org,example,//:http:")
+    assert hosts[2].startswith("org,example,//:https:")
+
+
 def test_ssurt_ordering():
     # ordering by reversed-host form groups hosts hierarchically
     urls = [
