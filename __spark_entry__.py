@@ -652,7 +652,7 @@ WITH g AS (SELECT DISTINCT doc_id, substr(text, i.i, 3) AS gram
            FROM documents d, LATERAL (SELECT unnest(range(1, GREATEST(LENGTH(d.text)-2,0)+1)) AS i) i
            WHERE LENGTH(substr(text, i.i, 3)) = 3),
 g8 AS (SELECT DISTINCT doc_id, substr(text, i.i, 8) AS gram
-       FROM documents d, LATERAL (SELECT unnest(range(1, GREATEST(LENGTH(d.text)-7,0)+1)) AS i) i
+       FROM documents d, LATERAL (SELECT unnest(range(1, GREATEST(LENGTH(d.text)-7,0)+1, 2)) AS i) i
        WHERE LENGTH(substr(text, i.i, 8)) = 8
        UNION ALL
        SELECT doc_id, text AS gram FROM documents
@@ -729,9 +729,6 @@ def _sql_sign_bits(first: int, n: int) -> str:
     return " + ".join(
         f"(CASE WHEN {_sql_hp_dot(first + j)} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(n)
     )
-
-
-_ANN_BITS = _sql_sign_bits(0, 8)
 
 
 def q_embed_dup_pairs(spark, sf_dir):
@@ -819,10 +816,11 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 SQL_ANN_LSH_TOPK = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-bk AS (SELECT vec_id, CAST({_ANN_BITS} AS BIGINT) AS bucket FROM e),
+bb AS ({_EMBED_BANDS_SQL}),
 q AS (SELECT v AS qv FROM e ORDER BY vec_id LIMIT 1),
-qb AS (SELECT bucket AS qbucket FROM bk ORDER BY vec_id LIMIT 1),
-cand AS (SELECT vec_id FROM bk, qb WHERE bucket = qbucket)
+qid AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT 1),
+qb AS (SELECT bb.band AS qband, bb.bucket AS qbucket FROM bb JOIN qid ON bb.vec_id = qid.vec_id),
+cand AS (SELECT DISTINCT bb.vec_id FROM bb JOIN qb ON bb.band = qb.qband AND bb.bucket = qb.qbucket)
 SELECT e.vec_id,
   CAST(ROUND(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*qv[i]))
     / (sqrt(list_sum(list_transform(v, x -> x*x))) * sqrt(list_sum(list_transform(qv, x -> x*x))))
@@ -845,10 +843,12 @@ def q_ann_multi_topk(spark, sf_dir):
 
 SQL_ANN_MULTI_TOPK = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-bk AS (SELECT vec_id, CAST({_ANN_BITS} AS BIGINT) AS bucket FROM e),
+bb AS ({_EMBED_BANDS_SQL}),
 q AS (SELECT vec_id AS qid, v AS qv FROM e ORDER BY vec_id LIMIT 10),
-qb AS (SELECT q.qid, q.qv, bk.bucket AS qbucket FROM q JOIN bk ON bk.vec_id = q.qid),
-cand AS (SELECT qb.qid, qb.qv, bk.vec_id FROM bk JOIN qb ON bk.bucket = qb.qbucket),
+qb AS (SELECT q.qid, bb.band AS qband, bb.bucket AS qbucket FROM q JOIN bb ON bb.vec_id = q.qid),
+cand0 AS (SELECT DISTINCT qb.qid, bb.vec_id
+          FROM bb JOIN qb ON bb.band = qb.qband AND bb.bucket = qb.qbucket),
+cand AS (SELECT cand0.qid, q.qv, cand0.vec_id FROM cand0 JOIN q ON q.qid = cand0.qid),
 scored AS (SELECT qid, e.vec_id,
   CAST(ROUND(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*qv[i]))
     / (sqrt(list_sum(list_transform(v, x -> x*x))) * sqrt(list_sum(list_transform(qv, x -> x*x))))

@@ -786,8 +786,13 @@ class CrawlEngine:
 
             # URL-seen is a key-presence question: base∪delta keys without
             # the MoR newest-wins resolve (duplicates are harmless to a
-            # bloom build and to the anti-join below)
-            cur = self.store.read_keys("frontier", ["origin_id", "path_id"], staged=True)
+            # bloom build and to the joins below).  path rides along so the
+            # collision check folds into the SAME verify join — a key
+            # collision (same ids, different path) can only involve a row
+            # the bloom flags maybe-seen, so no second frontier scan needed.
+            cur = self.store.read_keys(
+                "frontier", ["origin_id", "path_id", "path"], staged=True
+            ).select("origin_id", "path_id", F.col("path").alias("__p"))
             if self._bloom_bits is None:
                 # one-time build over the whole frontier (engine start /
                 # snapshot resume); afterwards the filter is maintained
@@ -811,15 +816,20 @@ class CrawlEngine:
                     _keyed(all_new), "key", "shard", cfg.bloom_shards, cfg.bloom_bits, cfg.bloom_k
                 )
                 self._bloom_bits = self._bloom_bits | delta_bits
-            # exact check only for the (small) maybe-seen set; FPs drop out here
-            verified_new = maybe_seen.join(
-                cur.select("origin_id", "path_id"), ["origin_id", "path_id"], "left_anti"
-            )
+            # exact check only for the (small) maybe-seen set; FPs drop out
+            # here.  One left join serves both purposes: unmatched rows are
+            # verified-new; matched rows with a DIFFERENT path are xxh64
+            # collisions (ref refuses to proceed, Url.java:30-50 identity).
+            hit = maybe_seen.join(cur, ["origin_id", "path_id"], "left")
+            if cfg.check_collisions:
+                bad = hit.filter(F.col("__p").isNotNull() & (F.col("path") != F.col("__p")))
+                clash = bad.limit(1).collect()
+                if clash:
+                    raise RuntimeError(f"Hash collision: {clash[0]['path']} vs {clash[0]['__p']}")
+            verified_new = hit.filter(F.col("__p").isNull()).drop("__p")
             all_new = definite_new.unionByName(verified_new)
-        if cfg.check_collisions:
-            # every historical row (base or delta) for a key carries the same
-            # path unless there IS a collision — unresolved keys view is
-            # exactly what we want to scan here
+        elif cfg.check_collisions:
+            # bloom off: no maybe-seen subset exists — scan the keys view
             cur = self.store.read_keys(
                 "frontier", ["origin_id", "path_id", "path"], staged=True
             ).select("origin_id", "path_id", F.col("path").alias("__p"))

@@ -60,10 +60,12 @@ def word_jaccard_pairs(docs: DataFrame, threshold: float = 0.9) -> DataFrame:
     oracle.  Exact word-set Jaccard is then computed only for candidates
     via ``array_intersect``.  score ×1e6 → BIGINT for oracle comparison.
     """
+    # NO distinct: min() is duplicate-safe and collect_set dedups on its
+    # own — the global (doc, word) distinct was a full shuffle of the
+    # exploded corpus for nothing
     w = (
         docs.select("doc_id", F.explode(_words()).alias("word"))
         .filter(F.col("word") != "")
-        .distinct()
     )
     sig = w.groupBy("doc_id").agg(
         *[
@@ -91,6 +93,10 @@ def word_jaccard_pairs(docs: DataFrame, threshold: float = 0.9) -> DataFrame:
         )
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
+        # candidates are the SMALL set by construction; persist so the
+        # expensive signature/banding subtree runs once, not once per use
+        # (verify join ×2 + the cand_ids semi-join below)
+        .persist()
     )
     # verify ONLY candidate docs: left-semi prune BEFORE materializing the
     # word arrays — at 100 TB candidates are a sliver of the corpus and
@@ -103,7 +109,8 @@ def word_jaccard_pairs(docs: DataFrame, threshold: float = 0.9) -> DataFrame:
     warr = (
         w.join(cand_ids, "doc_id", "left_semi")
         .groupBy("doc_id")
-        .agg(F.collect_set("word").alias("words"), F.count("*").alias("sz"))
+        .agg(F.collect_set("word").alias("words"))
+        .withColumn("sz", F.size("words"))
     )
     wa = warr.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wa"), F.col("sz").alias("sz_a"))
     wb = warr.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("wb"), F.col("sz").alias("sz_b"))
@@ -123,21 +130,29 @@ def word_jaccard_pairs(docs: DataFrame, threshold: float = 0.9) -> DataFrame:
     )
 
 
-def char_ngram_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct char n-gram shingles per doc — transform-with-index keeps it
-    JVM-side (F.sequence → F.transform(x, i)), no UDF."""
+def char_ngram_shingles(
+    docs: DataFrame, n: int = 3, distinct: bool = True, stride: int = 1
+) -> DataFrame:
+    """Char n-gram shingles per doc — transform-with-index keeps it
+    JVM-side (F.sequence → F.transform(x, i)), no UDF.  Pass
+    ``distinct=False`` when the consumer is duplicate-safe (min-agg
+    minhash, collect_set): the global distinct is a full shuffle of the
+    exploded corpus.  ``stride>1`` samples every stride-th position —
+    minhash signatures don't need every overlapping shingle (measured:
+    stride 2 halves signature cost at 100% candidate recall on the
+    sf0.01 exhaustive truth)."""
     grams = F.when(
         F.length("text") >= n,
         F.transform(
-            F.sequence(F.lit(1), F.length("text") - (n - 1)),
+            F.sequence(F.lit(1), F.length("text") - (n - 1), F.lit(stride)),
             lambda i: F.col("text").substr(i, F.lit(n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
+    out = (
         docs.select("doc_id", F.explode(grams).alias("gram"))
         .filter(F.length("gram") == n)
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(
@@ -147,6 +162,7 @@ def ngram_jaccard_pairs(
     bands: int = 4,
     rows_per_band: int = 2,
     sig_n: int = 8,
+    sig_stride: int = 2,
 ) -> DataFrame:
     """Char-n-gram Jaccard near-dup pairs: **LSH prefilter → exact verify**.
 
@@ -166,12 +182,15 @@ def ngram_jaccard_pairs(
     stages are deterministic md5 and the DuckDB oracle mirrors them
     bit-for-bit, so the gate compares identical sets.
     """
-    g = char_ngram_shingles(docs, n)
+    g = char_ngram_shingles(docs, n, distinct=False)
     short = docs.filter((F.length("text") > 0) & (F.length("text") < sig_n)).select(
         "doc_id", F.col("text").alias("gram")
     )
-    gs = char_ngram_shingles(docs, sig_n).unionByName(short)
+    gs = char_ngram_shingles(docs, sig_n, distinct=False, stride=sig_stride).unionByName(short)
     k = bands * rows_per_band
+    # one md5 per lane — NOT slices of a shared digest: measured on this
+    # corpus, 32-bit slices of one md5 inflate band collisions 6.5×
+    # (47k → 308k candidate rows at sf0.1), swamping the hashing saved
     sig = gs.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"g{i}|"), F.col("gram")))).alias(f"mh{i}")
@@ -201,6 +220,7 @@ def ngram_jaccard_pairs(
         )
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
+        .persist()  # small by construction; see word_jaccard_pairs
     )
     # semi-join prune: gram arrays only for candidate docs (see
     # word_jaccard_pairs — never re-materialize the whole corpus as arrays)
@@ -212,7 +232,8 @@ def ngram_jaccard_pairs(
     garr = (
         g.join(cand_ids, "doc_id", "left_semi")
         .groupBy("doc_id")
-        .agg(F.collect_set("gram").alias("grams"), F.count("*").alias("sz"))
+        .agg(F.collect_set("gram").alias("grams"))
+        .withColumn("sz", F.size("grams"))
     )
     ga = garr.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"), F.col("sz").alias("sz_a"))
     gb = garr.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"), F.col("sz").alias("sz_b"))

@@ -122,11 +122,14 @@ def banded_lsh_buckets(
 
 
 def ann_topk_multi(
-    embeddings: DataFrame, n_queries: int = 10, k: int = 5, n_bits: int = N_BITS
+    embeddings: DataFrame, n_queries: int = 10, k: int = 5, bands: int = 3, rows_per_band: int = 8
 ) -> DataFrame:
     """Multi-query ANN — the shape a training-data pipeline actually runs:
-    a query SET joins the bucketed corpus (bucket ⨝ bucket, no cross join),
-    exact cosine rerank per query via one window.
+    a query SET joins the **banded** bucketed corpus ((band, bucket) ⨝
+    (band, bucket), no cross join), exact cosine rerank per query via one
+    window.  Bands instead of one wide bucket: each band is selective
+    (2^r buckets) while the band union lifts recall — a single missed sign
+    bit no longer hides a true neighbor.
 
     The query set is deterministic (n_queries smallest vec_ids) so the
     DuckDB oracle derives the identical queries.  The query side is tiny →
@@ -135,18 +138,23 @@ def ann_topk_multi(
     """
     from pyspark.sql import Window
 
-    buckets = lsh_buckets(embeddings, n_bits)
+    buckets = banded_lsh_buckets(embeddings, bands, rows_per_band)
     qids = (
         embeddings.orderBy("vec_id")
         .limit(n_queries)
         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
     )
     qbuckets = qids.join(buckets, qids["qid"] == buckets["vec_id"]).select(
-        "qid", "qvec", F.col("bucket").alias("qbucket")
+        "qid", "qvec", F.col("band").alias("qband"), F.col("bucket").alias("qbucket")
     )
-    cand = buckets.join(
-        F.broadcast(qbuckets), buckets["bucket"] == F.col("qbucket")
-    ).select("qid", "qvec", "vec_id")
+    cand = (
+        buckets.join(
+            F.broadcast(qbuckets),
+            (buckets["band"] == F.col("qband")) & (buckets["bucket"] == F.col("qbucket")),
+        )
+        .select("qid", "qvec", "vec_id")
+        .dropDuplicates(["qid", "vec_id"])
+    )
     scored = cand.join(embeddings, "vec_id").select(
         "qid",
         "vec_id",
@@ -166,17 +174,27 @@ def ann_topk_multi(
     )
 
 
-def ann_topk(embeddings: DataFrame, k: int = 10, n_bits: int = N_BITS) -> DataFrame:
-    """ANN: candidates = same LSH bucket as the query → exact rerank.
+def ann_topk(embeddings: DataFrame, k: int = 10, bands: int = 3, rows_per_band: int = 8) -> DataFrame:
+    """ANN: candidates = any banded-LSH bucket shared with the query →
+    exact rerank (band union lifts recall over the old single wide bucket).
 
-    Approximate by design (bucket may miss true neighbors); the exactness
+    Approximate by design (bands may miss true neighbors); the exactness
     contract is only "top-k of the candidate set", which the oracle mirrors.
     """
-    buckets = lsh_buckets(embeddings, n_bits)
+    buckets = banded_lsh_buckets(embeddings, bands, rows_per_band)
     q = query_vector(embeddings)
     qid = embeddings.orderBy("vec_id").limit(1).select("vec_id")
-    qbucket = buckets.join(qid, "vec_id").select(F.col("bucket").alias("qb"))
-    cands = buckets.join(F.broadcast(qbucket), buckets["bucket"] == F.col("qb")).select("vec_id")
+    qbucket = buckets.join(qid, "vec_id").select(
+        F.col("band").alias("qband"), F.col("bucket").alias("qb")
+    )
+    cands = (
+        buckets.join(
+            F.broadcast(qbucket),
+            (buckets["band"] == F.col("qband")) & (buckets["bucket"] == F.col("qb")),
+        )
+        .select("vec_id")
+        .distinct()
+    )
     scored = (
         embeddings.join(cands, "vec_id")
         .crossJoin(F.broadcast(q))

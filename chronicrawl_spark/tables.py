@@ -253,6 +253,14 @@ class StateStore:
         # staged-manifest mutations may come from concurrent sink threads
         # (the wave runs independent table writes in parallel)
         self._mlock = threading.Lock()
+        # read-plan memo: building a mutable read re-lists every
+        # base/delta file on the DRIVER (InMemoryFileIndex) and re-derives
+        # the resolve plan — with 32 buckets × chain versions × several
+        # reads per wave that serial driver cost dominated small waves.
+        # Keyed by a state epoch bumped on every write/commit, so a cached
+        # DataFrame always reflects the exact file set it was built from.
+        self._epoch = 0
+        self._read_memo: dict = {}
 
     # ------------------------------------------------------------ manifest
     def _manifest_path(self, wave: int | None = None) -> str:
@@ -276,8 +284,13 @@ class StateStore:
             "next_version": {t: 0 for t in MUTABLE_TABLES},
         }
 
+    def _bump_epoch(self) -> None:
+        self._epoch += 1
+        self._read_memo.clear()
+
     def commit(self, wave: int) -> None:
         """Atomically publish all staged writes as snapshot ``wave``."""
+        self._bump_epoch()
         self._staged["committed_wave"] = wave
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
@@ -287,6 +300,7 @@ class StateStore:
         self.manifest = json.loads(json.dumps(self._staged))
 
     def rollback_staged(self) -> None:
+        self._bump_epoch()
         self._staged = json.loads(json.dumps(self.manifest))
 
     def has_staged_changes(self) -> bool:
@@ -299,6 +313,7 @@ class StateStore:
 
     def resume_from(self, wave: int) -> None:
         """Reset the live manifest to snapshot ``wave`` (checkpoint resume)."""
+        self._bump_epoch()
         with open(self._manifest_path(wave)) as f:
             m = json.load(f)
         tmp = self._manifest_path() + ".tmp"
@@ -312,14 +327,25 @@ class StateStore:
     def _empty(self, schema: T.StructType) -> DataFrame:
         return self.spark.createDataFrame([], schema)
 
+    def _memo(self, key, build) -> DataFrame:
+        hit = self._read_memo.get(key)
+        if hit is None:
+            hit = build()
+            self._read_memo[key] = hit
+        return hit
+
     def read(self, table: str) -> DataFrame:
         """Current snapshot of a table (committed manifest, not staged).
         Mutable tables resolve newest-wins over base + delta chains."""
-        return self._read_from(self.manifest, table)
+        return self._memo(
+            (table, "c", self._epoch), lambda: self._read_from(self.manifest, table)
+        )
 
     def read_staged(self, table: str) -> DataFrame:
         """In-flight view: committed snapshot + this wave's staged writes."""
-        return self._read_from(self._staged, table)
+        return self._memo(
+            (table, "s", self._epoch), lambda: self._read_from(self._staged, table)
+        )
 
     def set_clock(self, ms: int) -> None:
         """Stage the engine's virtual clock; published with the wave commit
@@ -336,6 +362,7 @@ class StateStore:
         lin.extend(list(r) for r in rows)
         if len(lin) > LINEAGE_CAP:
             del lin[: len(lin) - LINEAGE_CAP]
+        self._bump_epoch()
 
     def _read_from(self, manifest: dict, table: str) -> DataFrame:
         if table == "lineage":
@@ -364,24 +391,36 @@ class StateStore:
 
     def _delta_scan(self, manifest: dict, table: str, buckets: list) -> DataFrame:
         """Union of delta-chain files for ``buckets``, tagged with the
-        resolution columns ``__kind`` (2=upsert, 0=insert) and ``__ver``."""
+        resolution columns ``__kind`` (2=upsert, 0=insert) and ``__ver``.
+
+        Delta versions are written as a FEW size-targeted files with
+        ``__bucket`` as a plain column (NOT dir-partitioned): a delta is
+        read whole by every resolve anyway, and one-file-per-bucket-
+        per-version made small waves pay 32× the file-open/task floor in
+        every broadcast subjob (measured: ~9 s/wave at 100k-row scale).
+        Bucket-subset restriction (compaction of a chain subset) filters on
+        the column instead of pruning paths."""
         schema, _ = MUTABLE_TABLES[table]
         dmap = manifest.get("mutable_deltas", {}).get(table, {})
         dschema = T.StructType(
-            list(schema.fields) + [T.StructField("__iia", T.BooleanType(), True)]
+            list(schema.fields)
+            + [
+                T.StructField("__iia", T.BooleanType(), True),
+                T.StructField("__bucket", T.IntegerType(), True),
+            ]
         )
         cols = [f.name for f in schema.fields]
+        all_buckets = set(range(self.buckets))
         frames = []
         for v in sorted({v for b in buckets for v in dmap.get(b, [])}):
-            paths = [
-                os.path.join(self.root, table, f"d{v}", f"bucket={b}")
-                for b in buckets
-                if v in dmap.get(b, [])
-            ]
+            live = [int(b) for b in buckets if v in dmap.get(b, [])]
+            df = self.spark.read.schema(dschema).parquet(
+                os.path.join(self.root, table, f"d{v}")
+            )
+            if set(live) != all_buckets:
+                df = df.filter(F.col("__bucket").isin(live))
             frames.append(
-                self.spark.read.schema(dschema)
-                .parquet(*paths)
-                .select(
+                df.select(
                     *cols,
                     F.when(F.col("__iia"), F.lit(0)).otherwise(F.lit(2)).alias("__kind"),
                     F.lit(v).alias("__ver"),
@@ -458,9 +497,16 @@ class StateStore:
         newest-wins resolution (may contain duplicate keys).  Sound for
         existence checks / semi- / anti-joins because merges never delete a
         key — far cheaper than ``read`` (no window, no broadcast join)."""
-        manifest = self._staged if staged else self.manifest
         schema, keys = MUTABLE_TABLES[table]
         cols = cols or keys
+        return self._memo(
+            (table, "k", staged, tuple(cols), self._epoch),
+            lambda: self._read_keys_build(table, cols, staged),
+        )
+
+    def _read_keys_build(self, table: str, cols: list, staged: bool) -> DataFrame:
+        manifest = self._staged if staged else self.manifest
+        schema, keys = MUTABLE_TABLES[table]
         bmap: dict = manifest["mutable"][table]
         dmap: dict = manifest.get("mutable_deltas", {}).get(table, {})
         dirty = sorted((b for b in set(bmap) | set(dmap) if dmap.get(b)), key=int)
@@ -502,7 +548,8 @@ class StateStore:
         (values of ``pmod(origin_id, B)``).  Equivalent to ``read`` filtered
         on bucket, but prunes at the file-listing level — the 10^10-row
         history never hits the scan."""
-        return self._read_append(self.manifest, table, buckets)
+        key = (table, "p", None if buckets is None else tuple(sorted(int(b) for b in buckets)), self._epoch)
+        return self._memo(key, lambda: self._read_append(self.manifest, table, buckets))
 
     # ------------------------------------------------------------ writes
     def _bucket_col(self, df: DataFrame, table: str):
@@ -550,6 +597,7 @@ class StateStore:
             staged = self._staged["append"].setdefault(table, [])
             if wave not in staged:
                 staged.append(wave)
+        self._bump_epoch()
 
     def replace_append(self, table: str, df: DataFrame, wave: int) -> None:
         """Maintenance rewrite of an append table (retention expiry): write
@@ -564,6 +612,7 @@ class StateStore:
                 ab.clear()
                 if keep is not None:
                     ab[str(wave)] = keep
+        self._bump_epoch()
 
     def merge(
         self,
@@ -682,20 +731,18 @@ class StateStore:
             with self._mlock:
                 for b in touched:
                     bmap[str(b)] = version
+            self._bump_epoch()
             return stats
 
-        # MoR delta write: O(delta) — one file per touched bucket, no read
-        # of the existing table at all
-        out = delta.select(
-            *cols, F.col("__iia"), F.col("__bucket").alias("bucket")
-        )
+        # MoR delta write: O(delta), no read of the existing table at all.
+        # A FEW size-targeted files, bucket as a plain column — resolves
+        # read the delta whole, so dir-partitioning by bucket only
+        # multiplied the per-file task floor (32 tiny files per version
+        # cost ~9 s/wave in broadcast subjobs at small wave sizes).
+        out = delta.select(*cols, F.col("__iia"), F.col("__bucket"))
         target = os.path.join(self.root, table, f"d{version}")
-        (
-            out.repartition(max(1, len(touched)), "bucket")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(target)
-        )
+        n_files = max(1, min(len(touched), (up_rows + ins_rows) // 2_000_000 + 1))
+        out.repartition(n_files).write.mode("overwrite").parquet(target)
         delta.unpersist()
         with self._mlock:
             for b in touched:
@@ -704,6 +751,7 @@ class StateStore:
                 up_rows + ins_rows
             )
             over = [b for b in touched if len(dmap[str(b)]) > self.delta_chain_k]
+        self._bump_epoch()
         if over:
             self.compact(table, over)
         return stats
@@ -755,6 +803,7 @@ class StateStore:
             drows = self._staged.setdefault("delta_rows", {}).setdefault(table, {})
             for v in [v for v in drows if int(v) not in live]:
                 del drows[v]
+        self._bump_epoch()
         return len(targets)
 
     def overwrite(self, table: str, df: DataFrame) -> int:

@@ -38,11 +38,8 @@ def run_once(n_origins: int, locs: int, k: int) -> dict:
 
     now = 1_600_000_000_000
     spark = get_spark(f"frontgrowth-{locs}", cpus=16)
-    store = StateStore(
-        spark,
-        tempfile.mkdtemp(prefix=f"front{locs}_", dir="/dev/shm") + "/state",
-        buckets=32,
-    )
+    tmp = tempfile.mkdtemp(prefix=f"front{locs}_", dir="/dev/shm")
+    store = StateStore(spark, tmp + "/state", buckets=32)
     origins, frontier = synthetic_frontier(spark, n_origins, locs, now)
     store.merge("origins", origins, "upsert")
     store.merge("frontier", frontier, "upsert")
@@ -56,6 +53,9 @@ def run_once(n_origins: int, locs: int, k: int) -> dict:
     s = eng.step(per_host_k=k)
     dt = time.time() - t0
     spark.stop()
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)  # tmpfs hygiene
     return {"frontier_rows": n_frontier, "wave_secs": round(dt, 2), "fetched": s.get("fetched", 0)}
 
 

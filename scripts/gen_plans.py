@@ -54,6 +54,20 @@ def main():
     )
     out.append("engine_select_wave")
     out.append(formatted_plan(wave))
+
+    # MoR dirty read, small-delta regime: broadcast anti/semi split of the
+    # base (no base shuffle, pushdown intact on the untouched-keys branch)
+    from pyspark.sql import functions as F
+
+    delta = frontier.limit(5).withColumn("next_visit", F.lit(9_999_999_999_999))
+    store.merge("frontier", delta, "upsert")
+    store.commit(1)
+    out.append("mor_frontier_read_smalldelta (due-filter over base+delta chain)")
+    out.append(
+        formatted_plan(
+            store.read("frontier").filter(F.col("next_visit") <= F.lit(1_600_000_000_000))
+        )
+    )
     with open(os.path.join(REPO, "docs", "PLANS.txt"), "w") as f:
         f.write("\n".join(out))
     print("wrote docs/PLANS.txt")

@@ -52,6 +52,51 @@ def test_j5_antijoin_broadcast(spark):
     assert "l_shipdate" in pf
 
 
+def test_mor_read_plan_broadcast_path(spark, tmp_path):
+    """MoR adaptive resolve, small-delta regime: the base scan must NOT
+    shuffle — delta keys broadcast into the anti/semi split — and the
+    due-filter must still reach the base parquet scan on the untouched-keys
+    branch.  This is the per-wave frontier read at 10^10 rows; a regression
+    to a table-wide window here is the difference between scanning and
+    shuffling the frontier every wave."""
+    from chronicrawl_spark.fixtures import synthetic_frontier
+    from chronicrawl_spark.tables import StateStore
+    from pyspark.sql import functions as F
+
+    store = StateStore(spark, str(tmp_path / "s"), buckets=8)
+    origins, frontier = synthetic_frontier(spark, 50, 40, 1_600_000_000_000)
+    store.merge("frontier", frontier, "upsert")  # fresh → clean base
+    delta = frontier.limit(5).withColumn("next_visit", F.lit(9_999_999_999_999))
+    store.merge("frontier", delta, "upsert")  # small delta → chain of 1
+    store.commit(0)
+    df = store.read("frontier").filter(F.col("next_visit") <= F.lit(1_600_000_000_000))
+    plan = formatted_plan(df)
+    assert count_broadcast_joins(plan) >= 2  # anti + semi on delta keys
+    assert count_sortmerge_joins(plan) == 0
+    pf = " ".join(pushed_filters(plan))
+    assert "LessThanOrEqual(next_visit" in pf  # pushdown survives the anti branch
+    # rows: updated keys must reflect the delta (not due anymore)
+    assert df.count() == frontier.count() - 5
+
+
+def test_mor_read_plan_window_fallback(spark, tmp_path):
+    """Past delta_broadcast_rows the resolve falls back to one newest-wins
+    window over base∪deltas (a single table shuffle) — never a join
+    explosion."""
+    from chronicrawl_spark.fixtures import synthetic_frontier
+    from chronicrawl_spark.tables import StateStore
+
+    store = StateStore(spark, str(tmp_path / "s"), buckets=8, delta_broadcast_rows=2)
+    origins, frontier = synthetic_frontier(spark, 20, 10, 1_600_000_000_000)
+    store.merge("frontier", frontier, "upsert")
+    store.merge("frontier", frontier.limit(5), "upsert")  # 5 > threshold 2
+    store.commit(0)
+    plan = formatted_plan(store.read("frontier"))
+    assert "Window" in plan
+    assert count_sortmerge_joins(plan) == 0
+    assert store.read("frontier").count() == frontier.count()
+
+
 def test_wave_selection_plan(spark, tmp_path):
     """The engine's own W2 path: due-filter must reach the frontier scan and
     the origin/sitemap joins must be broadcast."""

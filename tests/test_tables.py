@@ -62,7 +62,7 @@ def test_partition_level_merge_on_read(spark, store):
     m = json.load(open(os.path.join(store.root, "manifest.json")))
     assert set(m["mutable"]["origins"].values()) == {0}  # base versions unchanged
     assert m["mutable_deltas"]["origins"]["3"] == [1]  # bucket 3 chain has the delta
-    assert os.path.isdir(os.path.join(store.root, "origins", "d1", "bucket=3"))
+    assert os.path.isdir(os.path.join(store.root, "origins", "d1"))
     rows = {r["origin_id"]: r["next_visit"] for r in store.read("origins").collect()}
     assert rows[3] == 5 and rows[4] == 1000 and len(rows) == 16
 
@@ -104,6 +104,24 @@ def test_auto_compaction_bounds_chain(spark, tmp_path):
     store.commit(0)
     rows = {r["origin_id"]: r["next_visit"] for r in store.read("origins").collect()}
     assert rows == {1: 5}
+
+
+def test_bucketed_append_retry_drops_stale_buckets(spark, store):
+    """A retried wave reuses its wave number.  Stale bucket dirs from a
+    failed first attempt must NOT be resurrected into the manifest by the
+    post-write directory listing (they'd re-appear as phantom visits)."""
+    vs = store.read("visits")
+    wide = [(b, 2, 1000 + b, "GET", 200, None, 1, None, None, None, None, None, None, None)
+            for b in range(8)]  # touches all 8 buckets
+    store.append("visits", spark.createDataFrame(wide, vs.schema), wave=0)
+    # simulate: attempt 1 wrote 8 buckets then crashed pre-commit; the retry
+    # (different upstream outcome) writes only bucket 3
+    narrow = [(3, 2, 99, "GET", 200, None, 1, None, None, None, None, None, None, None)]
+    store.append("visits", spark.createDataFrame(narrow, vs.schema), wave=0)
+    assert store._staged["append_buckets"]["visits"]["0"] == [3]
+    store.commit(0)
+    rows = store.read("visits").collect()
+    assert len(rows) == 1 and rows[0]["date"] == 99  # no phantoms
 
 
 def test_read_keys_presence_view(spark, store):
