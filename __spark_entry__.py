@@ -979,6 +979,7 @@ def q_image_decode_verify(spark, sf_dir):
 
     from chronicrawl_spark.extras.imaging import (
         decode_image,
+        make_paletted_image,
         make_smooth_image,
         phash64,
         psnr,
@@ -1001,7 +1002,9 @@ def q_image_decode_verify(spark, sf_dir):
             out = []
             for r in pdf.to_dict("records"):
                 px = decode_image(bytes(r["bytes"]), r["fmt"])
-                gen = make_smooth_image if r["fmt"] == "jpeg" else make_test_image
+                gen = {"jpeg": make_smooth_image, "gif": make_paletted_image}.get(
+                    r["fmt"], make_test_image
+                )
                 ref = gen(r["w"], r["h"], seed=int(r["image_id"][3:]))
                 out.append(
                     (

@@ -653,11 +653,199 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
+# ------------------------------------------------------------------ GIF codec
+# GIF87a/89a from the public spec: logical screen descriptor, color tables,
+# graphic-control/application extensions (skipped), image descriptor with
+# optional local palette + interlacing, and variable-width LSB-first LZW
+# image data in 255-byte sub-blocks.  Decode returns the FIRST frame
+# composited on the background (the "decode/verify" contract for the crawl
+# payload axis; animation frame-sampling would iterate the same loop).
+# Encode writes a single-frame GIF89a with a global palette and the
+# classic clear-code-throttled LZW (dictionary never grows past the
+# initial width — valid LZW, zero compression, trivially correct).
+
+
+def _gif_palette(px: np.ndarray):
+    """(palette N×3, index map H×W) — image must have ≤256 distinct colors."""
+    h, w, _ = px.shape
+    flat = px.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"GIF needs ≤256 colors, got {len(colors)} (quantize first)")
+    return colors.astype(np.uint8), inverse.reshape(h, w)
+
+
+class _LsbBitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, width: int):
+        self.acc |= (code & ((1 << width) - 1)) << self.n
+        self.n += width
+        while self.n >= 8:
+            self.buf.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.buf.append(self.acc & 0xFF)
+            self.acc = 0
+            self.n = 0
+        return bytes(self.buf)
+
+
+def encode_gif(px: np.ndarray) -> bytes:
+    h, w, _ = px.shape
+    palette, idx = _gif_palette(px)
+    # palette table size = 2^(n+1) ≥ len(palette), min 2 entries
+    pbits = max(1, int(len(palette) - 1).bit_length())
+    table = np.zeros((1 << pbits, 3), dtype=np.uint8)
+    table[: len(palette)] = palette
+    mcs = max(2, pbits)  # LZW minimum code size
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    bw = _LsbBitWriter()
+    width = mcs + 1
+    bw.write(clear, width)
+    count = 0
+    for v in idx.reshape(-1).tolist():
+        bw.write(int(v), width)
+        count += 1
+        if count >= (1 << mcs) - 4:  # keep the dictionary from widening
+            bw.write(clear, width)
+            count = 0
+    bw.write(end, width)
+    lzw = bw.flush()
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((pbits - 1) & 7) | ((pbits - 1) << 4), 0, 0)
+    out += table.tobytes()
+    out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # image descriptor
+    out.append(mcs)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3B"  # block terminator + trailer
+    return bytes(out)
+
+
+def _lzw_decode(mcs: int, data: bytes) -> list:
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    base = [(i,) for i in range(clear)] + [None, None]
+    table = list(base)
+    out: list = []
+    prev = None
+    bitpos, nbits = 0, len(data) * 8
+
+    def read_code():
+        nonlocal bitpos
+        if bitpos + width > nbits:
+            return end
+        byte_i, bit_i = bitpos >> 3, bitpos & 7
+        v = (int.from_bytes(data[byte_i : byte_i + 3], "little") >> bit_i) & ((1 << width) - 1)
+        bitpos += width
+        return v
+
+    while True:
+        code = read_code()
+        if code == clear:
+            table = list(base)
+            width = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table) and table[code] is not None:
+            entry = table[code]
+            table.append(prev + (entry[0],))
+        elif code == len(table):
+            entry = prev + (prev[0],)
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream")
+        out.extend(entry)
+        prev = entry
+        if len(table) >= (1 << width) and width < 12:
+            width += 1
+    return out
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """Decode the first frame of a GIF87a/89a to H×W×3 uint8."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h, flags, bg, _ = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 1 << ((flags & 7) + 1)
+        gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    canvas = np.zeros((h, w), dtype=np.int32)
+    if gct is not None:
+        canvas[:] = bg
+    while pos < len(data):
+        b = data[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks, all skippable
+            pos += 1
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        ix, iy, iw, ih, iflags = struct.unpack_from("<HHHHB", data, pos)
+        pos += 9
+        pal = gct
+        if iflags & 0x80:
+            n = 1 << ((iflags & 7) + 1)
+            pal = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        mcs = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while data[pos]:
+            ln = data[pos]
+            lzw += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = np.array(_lzw_decode(mcs, bytes(lzw))[: iw * ih], dtype=np.int32).reshape(ih, iw)
+        if iflags & 0x40:  # interlaced: 4-pass row order
+            deinter = np.zeros_like(idx)
+            rows = list(range(0, ih, 8)) + list(range(4, ih, 8)) + list(range(2, ih, 4)) + list(range(1, ih, 2))
+            for src, dst in enumerate(rows):
+                deinter[dst] = idx[src]
+            idx = deinter
+        canvas[iy : iy + ih, ix : ix + iw] = idx
+        if pal is None:
+            raise ValueError("GIF frame without a color table")
+        rgb = pal[np.clip(canvas, 0, len(pal) - 1)]
+        return rgb.astype(np.uint8)  # first frame only
+    raise ValueError("GIF contains no image data")
+
+
+def make_paletted_image(w: int, h: int, seed: int = 0) -> np.ndarray:
+    """Deterministic ≤128-color image (channel quantization of the smooth
+    pattern) — the GIF-representable fixture content."""
+    px = make_smooth_image(w, h, seed)
+    return np.stack(
+        [px[:, :, 0] & 0xC0, px[:, :, 1] & 0xC0, px[:, :, 2] & 0xE0], axis=-1
+    ).astype(np.uint8)
+
+
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
-    """Format dispatch.  bmp, png and (baseline) jpeg are real from-scratch
-    codecs; gif is the one remaining STUB in this sandbox (absent from the
-    fixture content mix) — on a cluster, ship PIL via --archives and extend
-    this dispatch."""
+    """Format dispatch — bmp, png, baseline jpeg and gif are all real
+    from-scratch codecs (every content type the reference's seed data
+    names, schema.sql:102-112, decodes).  Unknown formats raise."""
     f = (fmt or "").lower()
     if f == "bmp":
         return decode_bmp(data)
@@ -665,7 +853,9 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         return decode_png(data)
     if f in ("jpeg", "jpg"):
         return decode_jpeg(data)
-    raise NotImplementedError(f"decode for {fmt!r} is stubbed in the sandbox (no imaging libs)")
+    if f == "gif":
+        return decode_gif(data)
+    raise NotImplementedError(f"no decoder for format {fmt!r}")
 
 
 # --------------------------------------------------------------- verification

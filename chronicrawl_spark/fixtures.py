@@ -19,8 +19,10 @@ from pyspark.sql import types as T
 from .extras.imaging import (
     decode_jpeg,
     encode_bmp,
+    encode_gif,
     encode_jpeg,
     encode_png,
+    make_paletted_image,
     make_smooth_image,
     make_test_image,
     phash64,
@@ -90,18 +92,24 @@ IMAGES_SCHEMA = T.StructType(
 
 def make_images(spark: SparkSession, n: int = 8, w: int = 32, h: int = 24) -> DataFrame:
     """Deterministic image+caption table (input_hint shape).  Rows cycle
-    BMP / PNG / baseline-JPEG — all three from-scratch codecs
-    (extras/imaging.py).  Lossless rows store the phash of the source
-    pixels; jpeg rows store the phash of the DECODED pixels (the decoder in
-    the pipeline must reproduce it bit-for-bit) and carry the PSNR ≥ 40 dB
-    lossy invariant against the pristine source instead."""
+    BMP / PNG / baseline-JPEG / GIF — all four from-scratch codecs
+    (extras/imaging.py), covering every image content type in the
+    reference's seed data (schema.sql:102-112).  Lossless rows (bmp, png,
+    gif-on-paletted) store the phash of the source pixels; jpeg rows store
+    the phash of the DECODED pixels (the decoder in the pipeline must
+    reproduce it bit-for-bit) and carry the PSNR ≥ 40 dB lossy invariant
+    against the pristine source instead."""
     rows = []
     for i in range(n):
-        fmt = ("bmp", "png", "jpeg")[i % 3]
+        fmt = ("bmp", "png", "jpeg", "gif")[i % 4]
         if fmt == "jpeg":
             px = make_smooth_image(w, h, seed=i)
             data = encode_jpeg(px, quality=95)
             ph = phash64(decode_jpeg(data))
+        elif fmt == "gif":
+            px = make_paletted_image(w, h, seed=i)
+            data = encode_gif(px)
+            ph = phash64(px)
         else:
             px = make_test_image(w, h, seed=i)
             data = encode_png(px) if fmt == "png" else encode_bmp(px)

@@ -809,3 +809,56 @@ class StateStore:
     def overwrite(self, table: str, df: DataFrame) -> int:
         """Full-table upsert (seeding / small dimension tables)."""
         return self.merge(table, df, mode="upsert")["buckets"]
+
+    # ------------------------------------------------------------ vacuum
+    def vacuum(self, keep_snapshots: int = 2) -> dict:
+        """Delete data files unreferenced by the live/staged manifest and
+        the newest ``keep_snapshots`` snapshot tags — the Iceberg
+        ``expire_snapshots`` + ``remove_orphan_files`` analog.  Merges,
+        compactions and retention rewrites all leave old version/wave dirs
+        behind by design (crash safety: the previous snapshot stays
+        readable until commit); vacuum is the explicit maintenance op that
+        reclaims them.  Tags older than the kept window are deleted too, so
+        ``resume_from`` keeps working exactly for retained snapshots.
+        Returns ``{"dirs_deleted": n, "tags_deleted": m}``."""
+        import re
+
+        tags = sorted(
+            (
+                int(m.group(1))
+                for f in os.listdir(self.root)
+                if (m := re.fullmatch(r"manifest-(\d+)\.json", f))
+            )
+        )
+        keep_tags = set(tags[-keep_snapshots:]) if keep_snapshots > 0 else set()
+        manifests = [self.manifest, self._staged]
+        for t in keep_tags:
+            with open(self._manifest_path(t)) as f:
+                manifests.append(json.load(f))
+
+        live: dict[str, set] = {}
+        for m in manifests:
+            for table, bmap in m.get("mutable", {}).items():
+                s = live.setdefault(table, set())
+                s.update(f"v{v}" for v in bmap.values())
+                for ch in m.get("mutable_deltas", {}).get(table, {}).values():
+                    s.update(f"d{v}" for v in ch)
+            for table, waves in m.get("append", {}).items():
+                live.setdefault(table, set()).update(f"wave={w}" for w in waves)
+
+        deleted = 0
+        for table in list(MUTABLE_TABLES) + list(APPEND_TABLES):
+            tdir = os.path.join(self.root, table)
+            if not os.path.isdir(tdir):
+                continue
+            keep = live.get(table, set())
+            for d in os.listdir(tdir):
+                if d not in keep and re.fullmatch(r"(v\d+|d\d+|wave=\d+)", d):
+                    shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+                    deleted += 1
+        tags_deleted = 0
+        for t in tags:
+            if t not in keep_tags:
+                os.remove(self._manifest_path(t))
+                tags_deleted += 1
+        return {"dirs_deleted": deleted, "tags_deleted": tags_deleted}

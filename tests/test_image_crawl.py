@@ -8,7 +8,7 @@ import pyspark.sql.functions as F
 
 from chronicrawl_spark.crawl import CrawlConfig, CrawlEngine
 from chronicrawl_spark.extras.imaging import decode_image, phash64, psnr
-from chronicrawl_spark.extras.imaging import make_smooth_image
+from chronicrawl_spark.extras.imaging import make_paletted_image, make_smooth_image
 from chronicrawl_spark.fixtures import image_site, make_images, make_test_image
 from chronicrawl_spark.tables import StateStore
 
@@ -35,7 +35,7 @@ def test_image_crawl_end_to_end(spark, tmp_path):
     assert all(
         r["content_type"] == "image/" + r["path"].rsplit(".", 1)[1] for r in img_visits
     )
-    assert {r["content_type"] for r in img_visits} == {"image/bmp", "image/png", "image/jpeg"}
+    assert {r["content_type"] for r in img_visits} == {"image/bmp", "image/png", "image/jpeg", "image/gif"}
     # images were discovered as TRANSCLUSIONs from the gallery pages
     assert all(r["location_type"] == "TRANSCLUSION" for r in img_visits)
 
@@ -51,7 +51,7 @@ def test_image_crawl_end_to_end(spark, tmp_path):
         assert payload == bytes(src["bytes"])  # byte-identical through the pipeline
         px = decode_image(payload, src["fmt"])
         assert phash64(px) == src["phash"]
-        gen = make_smooth_image if src["fmt"] == "jpeg" else make_test_image
+        gen = {"jpeg": make_smooth_image, "gif": make_paletted_image}.get(src["fmt"], make_test_image)
         ref = gen(src["w"], src["h"], seed=int(image_id[3:]))
         if src["fmt"] == "jpeg":
             assert psnr(px, ref) >= 40.0  # lossy invariant (SURVEY §1.3)

@@ -117,9 +117,115 @@ def test_png_all_filter_types_decode():
         assert np.array_equal(out, px), f"filters {filters}"
 
 
-def test_decode_stub_is_explicit():
+def test_decode_unknown_format_is_explicit():
     with pytest.raises(NotImplementedError):
-        decode_image(b"GIF89a", "gif")
+        decode_image(b"RIFF....WEBP", "webp")
+
+
+def test_gif_roundtrip_exact():
+    from chronicrawl_spark.extras.imaging import decode_gif, encode_gif, make_paletted_image
+
+    for w, h, seed in [(32, 24, 0), (31, 17, 3), (1, 1, 7), (64, 48, 42)]:
+        px = make_paletted_image(w, h, seed)
+        out = decode_gif(encode_gif(px))
+        assert out.shape == px.shape
+        assert np.array_equal(out, px)  # palette-exact → lossless
+
+
+def _lzw_compress_ref(mcs, indices):
+    """Reference dictionary-building GIF-LZW compressor (test-side): exercises
+    the decoder's code paths the clear-throttled encoder never hits —
+    dictionary growth, width bumps, and the KwKwK (code == len(table)) case."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    from chronicrawl_spark.extras.imaging import _LsbBitWriter
+
+    bw = _LsbBitWriter()
+    width = mcs + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    bw.write(clear, width)
+    prev = ()
+    for v in indices:
+        cur = prev + (v,)
+        if cur in table:
+            prev = cur
+            continue
+        bw.write(table[prev], width)
+        table[cur] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:
+            bw.write(clear, width)
+            width = mcs + 1
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+        prev = (v,)
+    if prev:
+        bw.write(table[prev], width)
+    bw.write(end, width)
+    return bw.flush()
+
+
+def test_gif_decoder_handles_real_lzw():
+    import struct
+
+    from chronicrawl_spark.extras.imaging import _gif_palette, decode_gif, make_paletted_image
+
+    px = make_paletted_image(48, 32, 9)
+    palette, idx = _gif_palette(px)
+    pbits = max(1, int(len(palette) - 1).bit_length())
+    table = np.zeros((1 << pbits, 3), dtype=np.uint8)
+    table[: len(palette)] = palette
+    mcs = max(2, pbits)
+    lzw = _lzw_compress_ref(mcs, idx.reshape(-1).tolist())
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 48, 32, 0x80 | ((pbits - 1) & 7), 0, 0)
+    out += table.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, 48, 32, 0) + bytes([mcs])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    decoded = decode_gif(bytes(out))
+    assert np.array_equal(decoded, px)
+
+
+def test_gif_interlaced_decode():
+    import struct
+
+    from chronicrawl_spark.extras.imaging import _gif_palette, _LsbBitWriter, decode_gif, make_paletted_image
+
+    px = make_paletted_image(16, 16, 4)
+    palette, idx = _gif_palette(px)
+    pbits = max(1, int(len(palette) - 1).bit_length())
+    table = np.zeros((1 << pbits, 3), dtype=np.uint8)
+    table[: len(palette)] = palette
+    mcs = max(2, pbits)
+    # write rows in GIF interlace pass order; decoder must de-interlace
+    rows = list(range(0, 16, 8)) + list(range(4, 16, 8)) + list(range(2, 16, 4)) + list(range(1, 16, 2))
+    inter = idx[rows].reshape(-1).tolist()
+    clear = 1 << mcs
+    bw = _LsbBitWriter()
+    bw.write(clear, mcs + 1)
+    cnt = 0
+    for v in inter:
+        bw.write(int(v), mcs + 1)
+        cnt += 1
+        if cnt >= clear - 4:
+            bw.write(clear, mcs + 1)
+            cnt = 0
+    bw.write(clear + 1, mcs + 1)
+    lzw = bw.flush()
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 16, 16, 0x80 | ((pbits - 1) & 7), 0, 0)
+    out += table.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, 16, 16, 0x40) + bytes([mcs])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    assert np.array_equal(decode_gif(bytes(out)), px)
 
 
 def test_jpeg_roundtrip_psnr():

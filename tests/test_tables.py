@@ -124,6 +124,31 @@ def test_bucketed_append_retry_drops_stale_buckets(spark, store):
     assert len(rows) == 1 and rows[0]["date"] == 99  # no phantoms
 
 
+def test_vacuum_reclaims_orphans_keeps_retained_snapshots(spark, store):
+    import os
+
+    schema = store.read("origins").schema
+    for wave in range(3):  # base v0 + delta chain d1, d2
+        d = spark.createDataFrame([_origin_row(1, "http://a", nv=wave)], schema)
+        store.merge("origins", d, "upsert")
+        store.commit(wave)
+    store.compact("origins")  # folds v0+d1+d2 → v3
+    store.commit(3)
+    for wave in (4, 5):  # post-compaction deltas d4, d5
+        d = spark.createDataFrame([_origin_row(1, "http://a", nv=wave)], schema)
+        store.merge("origins", d, "upsert")
+        store.commit(wave)
+    res = store.vacuum(keep_snapshots=2)  # retains tags 4, 5 (→ v3, d4, d5)
+    assert res["dirs_deleted"] == 3  # pre-compaction v0, d1, d2 orphaned
+    assert res["tags_deleted"] == 4  # tags 0-3 expired
+    rows = {r["origin_id"]: r["next_visit"] for r in store.read("origins").collect()}
+    assert rows == {1: 5}  # live snapshot intact
+    store.resume_from(4)  # retained tag still resumable
+    assert {r["next_visit"] for r in store.read("origins").collect()} == {4}
+    assert not os.path.exists(store._manifest_path(0))  # expired tag gone
+    assert not os.path.exists(os.path.join(store.root, "origins", "v0"))
+
+
 def test_read_keys_presence_view(spark, store):
     schema = store.read("origins").schema
     store.merge("origins", spark.createDataFrame([_origin_row(1, "http://a")], schema), "upsert")
