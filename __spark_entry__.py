@@ -208,7 +208,7 @@ FROM events GROUP BY 1 ORDER BY 1
 def q_w4_log_pagination(spark, sf_dir):
     """W4 (Database.java:409-433): keyset pagination of the crawl log."""
     e = _t(spark, sf_dir, "events")
-    cutoff = e.agg(F.max(_ms("ts"))).first()[0]
+    cutoff = e.agg(F.max(_ms("ts"))).collect()[0][0]
     return (
         e.select("event_id", _ms("ts").alias("ts_ms"), "event_type", "user_id")
         .filter(F.col("ts_ms") < F.lit(cutoff))
@@ -620,6 +620,44 @@ b AS (SELECT 0 AS band, md5(mh0 || '|' || mh1) AS bucket, doc_id FROM sig
       UNION ALL SELECT 2, md5(mh4 || '|' || mh5), doc_id FROM sig),
 cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+c AS (SELECT doc_a, doc_b, COUNT(*) AS common
+      FROM cand JOIN wd a ON a.doc_id = cand.doc_a
+                JOIN wd b2 ON b2.doc_id = cand.doc_b AND b2.word = a.word
+      GROUP BY 1, 2)
+SELECT doc_a, doc_b, common,
+       CAST(ROUND(common*1000000.0/(sa.sz+sb.sz-common)) AS BIGINT) AS jaccard_e6
+FROM c JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+WHERE CAST(ROUND(common*1000000.0/(sa.sz+sb.sz-common)) AS BIGINT) >= 900000
+ORDER BY doc_a, doc_b
+"""
+
+# guarded variant: LSH df-cap — (band, bucket) groups larger than the cap
+# are dropped before the self-join, bounding the quadratic worst case on
+# corpora where the bands are non-discriminative (dedup.word_jaccard_pairs
+# max_bucket_size).  Unguarded semantics above are unchanged.
+WJ_BUCKET_CAP = 100
+
+
+def q_dedup_word_jaccard_guarded(spark, sf_dir):
+    from chronicrawl_spark.extras.dedup import word_jaccard_pairs
+
+    return word_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.9, max_bucket_size=WJ_BUCKET_CAP
+    )
+
+
+SQL_DEDUP_WORD_JACCARD_GUARDED = f"""
+WITH w AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS word FROM documents),
+wd AS (SELECT DISTINCT doc_id, word FROM w WHERE word <> ''),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM wd GROUP BY 1),
+sig AS (SELECT doc_id, {_WJ_MH_AGGS} FROM wd GROUP BY 1),
+b AS (SELECT 0 AS band, md5(mh0 || '|' || mh1) AS bucket, doc_id FROM sig
+      UNION ALL SELECT 1, md5(mh2 || '|' || mh3), doc_id FROM sig
+      UNION ALL SELECT 2, md5(mh4 || '|' || mh5), doc_id FROM sig),
+bf AS (SELECT * FROM (SELECT b.*, COUNT(*) OVER (PARTITION BY band, bucket) AS bsz FROM b)
+       WHERE bsz <= {WJ_BUCKET_CAP}),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bf x JOIN bf y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
 c AS (SELECT doc_a, doc_b, COUNT(*) AS common
       FROM cand JOIN wd a ON a.doc_id = cand.doc_a
                 JOIN wd b2 ON b2.doc_id = cand.doc_b AND b2.word = a.word
@@ -1181,6 +1219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline operators — oracle-verified
         "dedup_exact": q_dedup_exact,
         "dedup_word_jaccard": q_dedup_word_jaccard,
+        "dedup_word_jaccard_guarded": q_dedup_word_jaccard_guarded,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -1228,6 +1267,7 @@ def oracle_sql() -> dict[str, str]:
         "cdx_parse": _sql_cdx_parse(),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_word_jaccard": SQL_DEDUP_WORD_JACCARD,
+        "dedup_word_jaccard_guarded": SQL_DEDUP_WORD_JACCARD_GUARDED,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
         "dedup_simhash": SQL_DEDUP_SIMHASH,

@@ -44,6 +44,11 @@ from .tables import StateStore
 
 DAY_MS = 86_400_000
 
+# max wave-host ids collected to the driver for history-scan key pushdown;
+# must not exceed spark.sql.parquet.pushdown.inFilterThreshold (session.py)
+# or the In predicate degrades to a useless min/max range on hashed ids
+WAVE_HOST_IDS_CAP = 10_000
+
 
 @dataclass
 class CrawlConfig:
@@ -96,7 +101,16 @@ class CrawlEngine:
         self._rules_empty: bool | None = None  # cached; invalidated by add_rules
         self._lineage: list[tuple] = []  # (table, op, buckets) per wave
         self._disc_caches: list[DataFrame] = []  # persisted discovery frames
-        self._bloom_bits = None  # incremental URL-seen filter (np.ndarray)
+        # incremental URL-seen filter (np.ndarray) — reload the committed
+        # planes from the store so a restart/resume costs O(planes), not a
+        # full-frontier rebuild scan (params must match; else rebuild lazily)
+        self._bloom_bits = None
+        if self.config.use_bloom:
+            self._bloom_bits = store.load_bloom(self._bloom_meta())
+
+    def _bloom_meta(self) -> dict:
+        cfg = self.config
+        return {"n_bits": cfg.bloom_bits, "k": cfg.bloom_k, "shards": cfg.bloom_shards}
 
     def _merge(self, table: str, delta, mode: str) -> dict:
         """StateStore.merge + lineage accounting; returns the merge stats
@@ -191,20 +205,37 @@ class CrawlEngine:
 
         se = store.read("sitemap_entries")
         wave = select_wave(frontier, elig, se, T, k=per_host_k, salt=salt)
-        # carry origin.discovered for the full-row origin upsert
-        wave = wave.join(F.broadcast(origins.select("origin_id", F.col("discovered").alias("o_discovered"))), "origin_id", "left")
+        # origin carry-cols (incl. o_discovered) ride select_wave's
+        # post-top-k join — no extra origins join/broadcast here
         # localCheckpoint (not persist): truncates the logical plan so the
         # dozen downstream actions this wave plan against a tiny LogicalRDD
         # instead of re-optimizing the full read→join→window tree each time
         # (driver planning was the dominant serial cost per wave)
         wave = wave.localCheckpoint(eager=True)
-        stats = wave.agg(
-            F.count("*").alias("n"),
-            F.countDistinct("origin_id").alias("hosts"),
-            F.collect_set(F.pmod(F.col("origin_id"), F.lit(store.buckets)).cast("int")).alias("bks"),
-        ).collect()[0]
+        stats = (
+            wave.agg(
+                F.count("*").alias("n"),
+                F.countDistinct("origin_id").alias("hosts"),
+                F.collect_set(F.pmod(F.col("origin_id"), F.lit(store.buckets)).cast("int")).alias("bks"),
+                # wave host ids, for pushing isin(origin_id) into the J6/J7
+                # history scans (row-group skipping on key-sorted buckets).
+                # Transferred to the driver only below the cap — a mega-wave
+                # falls back to semi-join-only pruning
+                F.collect_set("origin_id").alias("oids_all"),
+            )
+            .select(
+                "n",
+                "hosts",
+                "bks",
+                F.when(
+                    F.size("oids_all") <= F.lit(WAVE_HOST_IDS_CAP), F.col("oids_all")
+                ).alias("oids"),
+            )
+            .collect()[0]
+        )
         n_wave, n_hosts = stats["n"], stats["hosts"]
         wave_buckets = stats["bks"]
+        wave_origin_ids = stats["oids"]
 
         # park eligible origins with no due locations (Crawl.java:123-126) —
         # an anti-join against the (checkpointed, tiny) wave's hosts; the
@@ -223,7 +254,7 @@ class CrawlEngine:
             store.commit(w)
             return {"wave": w, "ts": T, "fetched": 0, "parked": n_parked}
 
-        exch = self._exchange(wave, T, wave_buckets)
+        exch = self._exchange(wave, T, wave_buckets, wave_origin_ids)
         # the robots-gate and fetch/denied unions CONCATENATE partitions
         # (32 → 128 through two unions) — coalesce back to the session
         # parallelism before checkpointing or every downstream write runs
@@ -264,6 +295,11 @@ class CrawlEngine:
         self._release_discovery_caches()
 
         self._append_metrics(exch, T)
+
+        # publish the updated URL-seen planes with this wave's commit
+        # (restart/resume then skips the full-frontier bloom rebuild)
+        if cfg.use_bloom and self._bloom_bits is not None:
+            store.save_bloom(self._bloom_bits, self._bloom_meta())
 
         w = store.committed_wave + 1
         store.commit(w)
@@ -317,16 +353,25 @@ class CrawlEngine:
         gated = with_robots.withColumn("allowed", allowed)
         return no_robots.unionByName(gated)
 
-    def _exchange(self, wave: DataFrame, T: int, wave_buckets: list | None = None) -> DataFrame:
+    def _exchange(
+        self,
+        wave: DataFrame,
+        T: int,
+        wave_buckets: list | None = None,
+        wave_origin_ids: list | None = None,
+    ) -> DataFrame:
         """Robots gate → fetch → digest → dedupe; one row per exchange.
 
         J6/J7 history lookups (the reference's per-URL indexed SELECTs,
-        ``Database.java:387-395``, ``schema.sql:131,139``) are pruned two
+        ``Database.java:387-395``, ``schema.sql:131,139``) are pruned three
         ways before any window/join: (a) the visits/warc scans read only the
-        buckets this wave touches (manifest-level file pruning), (b) a
-        left-semi join against the wave's (origin_id, path_id) keys — wave ≪
-        history, and the semi join's hash partitioning is reused by the J6
-        window, so history rows outside the wave never shuffle.
+        buckets this wave touches (manifest-level file pruning), (b) an
+        ``isin(wave origin_ids)`` pushed into the parquet scan — appends are
+        key-sorted within bucket files, so row groups outside the wave's
+        hosts are skipped at the reader, (c) a left-semi join against the
+        wave's (origin_id, path_id) keys — wave ≪ history, and the semi
+        join's hash partitioning is reused by the J6 window, so history rows
+        outside the wave never shuffle.
         """
         cfg = self.config
         wk = wave.select("origin_id", "path_id")
@@ -336,6 +381,14 @@ class CrawlEngine:
         else:
             visits_hist = self.store.read_pruned("visits", wave_buckets)
             warc_hist = self.store.read_pruned("warc_records", wave_buckets)
+        if wave_origin_ids:
+            # (c) exact key pushdown: appends are sorted by (origin_id,
+            # path_id) within bucket files, so isin(wave hosts) reaches the
+            # parquet scan and skips whole row groups — the semi-join below
+            # stays for exactness, this just stops history bytes at the scan
+            in_hosts = F.col("origin_id").isin([int(x) for x in wave_origin_ids])
+            visits_hist = visits_hist.filter(in_hosts)
+            warc_hist = warc_hist.filter(in_hosts)
         visits_hist = visits_hist.join(wk.hint("shuffle_hash"), ["origin_id", "path_id"], "left_semi")
         warc_hist = warc_hist.join(wk.hint("shuffle_hash"), ["origin_id", "path_id"], "left_semi")
         gated = self._robots_gate(wave)

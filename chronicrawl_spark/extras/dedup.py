@@ -47,7 +47,9 @@ def exact_dedup(docs: DataFrame, key=None) -> DataFrame:
     )
 
 
-def word_jaccard_pairs(docs: DataFrame, threshold: float = 0.9) -> DataFrame:
+def word_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.9, max_bucket_size: int | None = None
+) -> DataFrame:
     """Near-dup pairs by Jaccard over distinct word sets: **MinHash-LSH
     candidates → exact verify** (same scale shape as ``ngram_jaccard_pairs``
     — the word self-join candidate generator it replaces was quadratic
@@ -59,6 +61,17 @@ def word_jaccard_pairs(docs: DataFrame, threshold: float = 0.9) -> DataFrame:
     99.3% at s=0.9, deterministic given md5 and mirrored exactly by the
     oracle.  Exact word-set Jaccard is then computed only for candidates
     via ``array_intersect``.  score ×1e6 → BIGINT for oracle comparison.
+
+    ``max_bucket_size`` bounds the worst case: a band bucket holding m docs
+    contributes O(m²) candidate pairs, so a pathological corpus (this
+    synthetic one: word sets overlap so heavily that ~70% of ALL pairs are
+    true LSH candidates) makes the unguarded operator quadratic.  When set,
+    (band, bucket) groups larger than the cap are dropped BEFORE the
+    self-join — the standard LSH df-cap: an over-full bucket means that
+    band is non-discriminative for those docs, and a true near-dup pair is
+    still found by any of its other, selective bands.  Deterministic and
+    mirrored exactly by the DuckDB oracle (dedup_word_jaccard_guarded);
+    ``None`` (default) keeps the exact unguarded semantics.
     """
     # NO distinct: min() is duplicate-safe and collect_set dedups on its
     # own — the global (doc, word) distinct was a full shuffle of the
@@ -83,6 +96,17 @@ def word_jaccard_pairs(docs: DataFrame, threshold: float = 0.9) -> DataFrame:
             )
         )
     allb = bands[0].unionByName(bands[1]).unionByName(bands[2])
+    if max_bucket_size is not None:
+        # one window count on (band, bucket) — the same key the self-join
+        # below shuffles on, so the partitioning is reused
+        from pyspark.sql import Window
+
+        wbb = Window.partitionBy("band", "bucket")
+        allb = (
+            allb.withColumn("__bsz", F.count("*").over(wbb))
+            .filter(F.col("__bsz") <= F.lit(int(max_bucket_size)))
+            .drop("__bsz")
+        )
     x, y = allb.alias("x"), allb.alias("y")
     cand = (
         x.join(

@@ -10,11 +10,19 @@ and caption equality.  The sandbox has **no imaging libraries** (no PIL), so:
   the public PNG spec with stdlib ``zlib``: chunk framing + CRC, all five
   scanline filters on decode, filter-0 encode — a real lossless compressed
   format in the pipeline.
-- ``jpeg``/``gif`` decode is **STUBBED**: ``decode_image`` raises
-  ``NotImplementedError`` for them.  The Spark-side plumbing (binary
-  columns, Arrow batches, UDF signatures, partitioning) is identical for
-  every format, so swapping in PIL/libvips on a real cluster is a one-line
-  change inside ``decode_image``.
+- ``jpeg`` (baseline DCT, ITU-T T.81 Annex K tables) is implemented fully
+  from scratch: 4:4:4 encode at configurable quality, and a decoder that
+  handles generic chroma sampling, grayscale, and RSTn markers (progressive
+  JPEG is rejected with ``NotImplementedError``).  q95 round-trips at
+  ≈49 dB PSNR on smooth fixtures — the ≥40 dB lossy invariant is real.
+- ``gif`` (GIF87a/89a) is implemented fully from scratch: variable-width
+  LSB-first LZW decode (KwKwK, width bumps, 4096 reset), 4-pass interlace,
+  first-frame composite; the encoder emits valid clear-throttled LZW.
+
+All four codecs are real — no stubs remain.  On a production cluster
+PIL/libvips would still be the sensible swap-in inside ``decode_image``
+(these pure-numpy codecs exist because the sandbox has no imaging libs),
+but nothing here depends on that swap.
 
 All functions operate on numpy arrays (H×W×3 uint8) and are called from
 Arrow-batched pandas UDFs — no per-row Python in the Spark plan.

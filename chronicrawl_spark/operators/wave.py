@@ -97,23 +97,44 @@ def select_wave(
     priority (J2) → W2 top-k per host.
 
     Returns frontier columns + origin columns (origin, robots_txt,
-    robots_crawl_delay, crawl_policy) + ``priority`` + ``url``.
+    robots_crawl_delay, crawl_policy, discovered as ``o_discovered``) +
+    ``priority`` + ``changefreq`` + ``url``.
 
-    Plan shape at scale: the F2 filter prunes to due rows before any join
-    (predicate pushdown to the parquet/Iceberg scan via min/max stats on
-    ``next_visit``); the eligible-origins side is the small one (hosts, not
-    URLs) and broadcast-joins; sitemap_entries joins on the bucketed key.
+    Plan shape at scale — rank NARROW, join carry-cols AFTER top-k:
+    - The F2 filter prunes to due rows before any join (predicate pushdown
+      to the parquet/Iceberg scan via min/max stats on ``next_visit``).
+    - Eligibility is a LEFT-SEMI against origin ids only: no origin payload
+      — in particular no 512 KiB ``robots_txt`` blobs — ever enters the W2
+      window's hash shuffle.  The reference ranks on nothing but
+      type/priority/depth/next_visit (``Database.java:264-269``).
+    - J2 joins only the two tiny ranking/cascade fields (``priority``
+      double, ``changefreq`` short string) pre-window.  ``changefreq``
+      deliberately rides this join rather than a post-top-k one: the
+      (origin_id, path_id) se join already happens for ``priority``, and
+      re-joining the URL-keyed sitemap_entries table against the selected
+      wave later would re-shuffle the *huge* side a second time for 8
+      bytes/row of savings.
+    - Origin carry-cols (origin string, robots blob, delay, policy,
+      discovered) join onto the ≤ k·hosts selected wave AFTER top-k, so a
+      host's robots blob moves once per selected host, not once per due row.
+    - No broadcast hints: at sandbox scale the static planner broadcasts
+      from parquet size stats; at 10^8 hosts neither side fits a broadcast
+      and AQE picks shuffle strategies — an unconditional hint would OOM
+      the driver there.
     """
     due = frontier.filter(F.col("next_visit") <= F.lit(wave_ts))
-    orig = origins_eligible.select(
-        "origin_id", "origin", "robots_txt", "robots_crawl_delay", "crawl_policy"
-    )
-    # origins per wave ≪ frontier rows — broadcast the host side
-    due = due.join(F.broadcast(orig), "origin_id", "inner")
-    # J2 carries priority (queue ordering) and changefreq (C11 revisit cascade
-    # reads it for the fetched location — Database.java:345-346)
+    due = due.join(origins_eligible.select("origin_id"), "origin_id", "left_semi")
+    # J2 ranking hint + C11 revisit-cascade field (Database.java:345-346)
     se = sitemap_entries.select("origin_id", "path_id", "priority", "changefreq")
-    # sitemap-entry hints are tiny relative to the frontier — broadcast
-    due = due.join(F.broadcast(se), ["origin_id", "path_id"], "left")
+    due = due.join(se, ["origin_id", "path_id"], "left")
     wave = per_host_top_k(due, k=k, salt=salt)
+    orig = origins_eligible.select(
+        "origin_id",
+        "origin",
+        "robots_txt",
+        "robots_crawl_delay",
+        "crawl_policy",
+        F.col("discovered").alias("o_discovered"),
+    )
+    wave = wave.join(orig, "origin_id", "inner")
     return wave.withColumn("url", F.concat(F.col("origin"), F.col("path")))

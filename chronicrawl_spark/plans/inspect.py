@@ -45,6 +45,18 @@ def count_sortmerge_joins(plan: str) -> int:
     return len(re.findall(r"\n\s*\(\d+\) SortMergeJoin\b", plan))
 
 
+def window_input_columns(plan: str) -> list[set[str]]:
+    """Column names entering each Window operator (from the formatted
+    details' ``Input [n]: [...]`` line).  The W2 ranking window must see
+    only narrow ranking columns — a robots blob here means every due row
+    of a host drags the host's robots.txt through the hash shuffle."""
+    out = []
+    for m in re.finditer(r"\(\d+\) Window\nInput \[\d+\]: \[([^\]]*)\]", plan):
+        cols = {c.strip().split("#")[0] for c in m.group(1).split(",") if c.strip()}
+        out.append(cols)
+    return out
+
+
 def scan_columns(plan: str) -> list[set[str]]:
     """Column sets actually read from each parquet scan (pruning check)."""
     out = []

@@ -58,6 +58,12 @@ def get_spark(
         # core count — the N→4N profile showed 5-task scans on 16 cores
         .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(32 * 1024 * 1024))
+        # past this many values Spark degrades a parquet In-pushdown to a
+        # min/max range — useless for uniformly-hashed origin_ids.  The
+        # per-wave history reads push isin(wave origin_ids) (≤ ~10k hosts)
+        # into the scan so key-sorted row groups inside touched buckets get
+        # skipped (see tables.append clustering)
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "10000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

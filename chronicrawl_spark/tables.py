@@ -56,6 +56,7 @@ from __future__ import annotations
 import functools
 import json
 import os
+import re
 import shutil
 import threading
 
@@ -325,7 +326,15 @@ class StateStore:
 
     # ------------------------------------------------------------ reads
     def _empty(self, schema: T.StructType) -> DataFrame:
-        return self.spark.createDataFrame([], schema)
+        # NOT createDataFrame([], schema): that builds an ExistingRDD scan
+        # with UNKNOWN size stats, so any join against a not-yet-written
+        # table plans sort-merge (the planner assumes worst-case size).
+        # range(0) is a zero-size LocalTableScan — joins against it
+        # broadcast, and Catalyst can fold the empty relation away.
+        z = self.spark.range(0)
+        return z.select(
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
 
     def _memo(self, key, build) -> DataFrame:
         hit = self._read_memo.get(key)
@@ -352,6 +361,51 @@ class StateStore:
         so snapshot resume restores it turnkey (the reference's clock is
         implicit in its SQLite state)."""
         self._staged["clock"] = ms
+
+    def save_bloom(self, planes, meta: dict) -> None:
+        """Stage the URL-seen bloom planes as a store-managed blob.
+
+        The filter is derived state (rebuildable from the frontier), but at
+        10^10 keys the rebuild is a full-corpus scan — persisting the ~MBs
+        of planes next to the manifest makes restart/resume O(planes), not
+        O(frontier).  Published atomically with the wave commit: the staged
+        pointer only becomes visible via ``commit``, and ``load_bloom``
+        ignores planes whose sizing params don't match the engine config.
+        Old plane files are reclaimed by ``vacuum`` like any other
+        unreferenced data file."""
+        import numpy as np
+
+        d = os.path.join(self.root, "bloom")
+        os.makedirs(d, exist_ok=True)
+        # next version past BOTH the staged pointer and any file on disk —
+        # a resume_from() fork must not clobber a file an older snapshot
+        # tag still references
+        existing = [
+            int(m.group(1))
+            for f in os.listdir(d)
+            if (m := re.fullmatch(r"planes-(\d+)\.npy", f))
+        ]
+        ver = max(
+            [int(self._staged.get("bloom", {}).get("ver", -1))] + existing
+        ) + 1
+        fname = f"planes-{ver}.npy"
+        np.save(os.path.join(d, fname), planes)
+        self._staged["bloom"] = {"ver": ver, "file": fname, **meta}
+
+    def load_bloom(self, expected_meta: dict):
+        """Committed bloom planes, or None if absent / params mismatch /
+        file vacuumed away (caller falls back to a full rebuild)."""
+        import numpy as np
+
+        m = self.manifest.get("bloom")
+        if not m:
+            return None
+        if any(m.get(k) != v for k, v in expected_meta.items()):
+            return None
+        p = os.path.join(self.root, "bloom", m["file"])
+        if not os.path.exists(p):
+            return None
+        return np.load(p)
 
     def log_lineage(self, wave: int, rows: list) -> None:
         """Per-wave lineage rows live in the manifest (Iceberg
@@ -572,14 +626,22 @@ class StateStore:
             # stale bucket dirs into the manifest (dynamic partition
             # overwrite only replaces buckets present in THIS write)
             shutil.rmtree(path, ignore_errors=True)
+            # Data clustering inside each bucket file: rows sorted by
+            # (origin_id, path_id) → parquet row-group min/max stats on the
+            # key become selective, so the per-wave J6/J7 history reads skip
+            # row groups inside touched buckets (the parquet approximation
+            # of the reference's (origin_id, path_id, date) PK index,
+            # schema.sql:131).  sortWithinPartitions = no extra shuffle.
             out = out.withColumn("bucket", self._bucket_col(out, table))
             if table in ("warc_records", "screenshots"):
                 # payload-heavy: avoid a full-body shuffle — sort within the
                 # existing partitions; ≤1 file per (task, bucket)
-                out = out.sortWithinPartitions("bucket")
+                out = out.sortWithinPartitions("bucket", "origin_id", "path_id")
             else:
                 # narrow rows: hash-repartition → ≤1 file per bucket per wave
-                out = out.repartition(self.buckets, "bucket")
+                out = out.repartition(self.buckets, "bucket").sortWithinPartitions(
+                    "bucket", "origin_id", "path_id"
+                )
             out.write.mode("overwrite").partitionBy("bucket").parquet(path)
             written = sorted(
                 int(d.split("=", 1)[1])
@@ -855,6 +917,16 @@ class StateStore:
             for d in os.listdir(tdir):
                 if d not in keep and re.fullmatch(r"(v\d+|d\d+|wave=\d+)", d):
                     shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+                    deleted += 1
+        # bloom plane blobs: keep only files referenced by a retained manifest
+        bdir = os.path.join(self.root, "bloom")
+        if os.path.isdir(bdir):
+            keep_planes = {
+                m.get("bloom", {}).get("file") for m in manifests if m.get("bloom")
+            }
+            for f in os.listdir(bdir):
+                if f not in keep_planes:
+                    os.remove(os.path.join(bdir, f))
                     deleted += 1
         tags_deleted = 0
         for t in tags:

@@ -78,12 +78,35 @@ site = synthetic_site_for_frontier(spark, N_ORIGINS)
 engine = CrawlEngine(spark, store, site, CrawlConfig(dedupe_server=False, dedupe_digest=False))
 engine.clock = 1_600_000_000_000
 engine.step(per_host_k=K)  # warmup (JIT, codegen)
+
+def _du(path):
+    total = 0
+    for dirpath, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, f))
+            except OSError:
+                pass
+    return total
+
+# vacuum rides INSIDE the timed loop: on a long-running crawl snapshot
+# expiry is part of the steady-state wave cost, and without it orphan
+# version dirs accumulate without bound (hundreds of waves × O(wave) delta
+# files).  High-water mark is sampled pre-vacuum each wave.
+disk_hwm = disk0 = _du(run_dir + "/state")
 t0 = time.time(); fetched = 0
-for _ in range(WAVES):
+for i in range(WAVES):
     fetched += engine.step(per_host_k=K).get("fetched", 0)
+    disk_hwm = max(disk_hwm, _du(run_dir + "/state"))
+    if (i + 1) % VACUUM_EVERY == 0:
+        store.vacuum(keep_snapshots=2)
 dt = time.time() - t0
+disk_end = _du(run_dir + "/state")
 print(json.dumps({"executors": n_exec, "cores": total_cores, "urls": fetched,
-                  "secs": round(dt, 3), "urls_per_sec": round(fetched / dt, 2)}))
+                  "secs": round(dt, 3), "urls_per_sec": round(fetched / dt, 2),
+                  "disk_seed_mb": round(disk0 / 1e6, 1),
+                  "disk_hwm_mb": round(disk_hwm / 1e6, 1),
+                  "disk_end_mb": round(disk_end / 1e6, 1)}))
 spark.stop()
 shutil.rmtree(run_dir, ignore_errors=True)
 """
@@ -95,6 +118,7 @@ def _params_src(params: dict, seed_dir: str) -> str:
         f"MEM_PER_EXEC_MB = {MEM_PER_EXEC_MB}\nSEED_DIR = {seed_dir!r}\n"
         f"N_ORIGINS = {params['n_origins']}\nLOCS = {params['locs']}\n"
         f"WAVES = {params['waves']}\nK = {params['k']}\n"
+        f"VACUUM_EVERY = {int(os.environ.get('VACUUM_EVERY', '1'))}\n"
     )
 
 

@@ -170,3 +170,57 @@ def test_resume_from_snapshot_mid_crawl(spark, tmp_path):
         (r["date"], r["path_id"], r["status"]) for r in store2.read("visits").collect()
     )
     assert resumed_visits == final_visits
+
+
+def test_bloom_persisted_across_restart(spark, tmp_path, monkeypatch):
+    """Restart must reload the committed URL-seen planes from the store —
+    NOT rebuild them with a full-frontier scan (the 10^10-key cost the
+    persistence exists to avoid) — and the resumed crawl must be identical."""
+    import numpy as np
+
+    from chronicrawl_spark.operators import seen
+
+    store = StateStore(spark, str(tmp_path / "state"), buckets=8)
+    engine = CrawlEngine(spark, store, make_site(spark, ORIGIN), CrawlConfig())
+    engine.add_seeds([ORIGIN], now=T0)
+    engine.run(max_waves=3, k_origins=1, per_host_k=1)
+    wave3 = store.committed_wave
+    assert engine._bloom_bits is not None  # built + maintained during run
+    saved = store.load_bloom(engine._bloom_meta())
+    assert saved is not None and np.array_equal(saved, engine._bloom_bits)
+
+    # reference final state: continue the original engine to completion
+    engine.run(max_waves=9, k_origins=1, per_host_k=1)
+    final_visits = sorted(
+        (r["date"], r["path_id"], r["status"]) for r in store.read("visits").collect()
+    )
+
+    # "restart": fresh store + engine over the same directory at wave 3
+    store2 = StateStore(spark, str(tmp_path / "state"), buckets=8)
+    store2.resume_from(wave3)
+    calls = {"n": 0}
+    real_build = seen.build_bloom_sharded
+
+    def counting_build(*a, **kw):
+        calls["n"] += 1
+        return real_build(*a, **kw)
+
+    monkeypatch.setattr(seen, "build_bloom_sharded", counting_build)
+    engine2 = CrawlEngine(spark, store2, make_site(spark, ORIGIN), CrawlConfig())
+    assert engine2._bloom_bits is not None  # loaded from the manifest blob
+    engine2.run(max_waves=9, k_origins=1, per_host_k=1)
+    # no full-frontier rebuild job ran (small waves use the driver OR-in path)
+    assert calls["n"] == 0
+    resumed_visits = sorted(
+        (r["date"], r["path_id"], r["status"]) for r in store2.read("visits").collect()
+    )
+    assert resumed_visits == final_visits
+
+    # param mismatch → loader refuses (engine would rebuild lazily)
+    assert store2.load_bloom({"n_bits": 1 << 10, "k": 5, "shards": 4}) is None
+
+    # vacuum prunes plane files unreferenced by retained manifests
+    bdir = tmp_path / "state" / "bloom"
+    n_before = len(list(bdir.iterdir()))
+    store2.vacuum(keep_snapshots=1)
+    assert len(list(bdir.iterdir())) <= min(n_before, 3)  # live+staged+kept tag
