@@ -44,10 +44,22 @@ from .tables import StateStore
 
 DAY_MS = 86_400_000
 
-# max wave-host ids collected to the driver for history-scan key pushdown;
-# must not exceed spark.sql.parquet.pushdown.inFilterThreshold (session.py)
-# or the In predicate degrades to a useless min/max range on hashed ids
-WAVE_HOST_IDS_CAP = 10_000
+# max wave-host ids pushed into the history parquet scans as isin().
+# Two hard constraints: (a) must not exceed
+# spark.sql.parquet.pushdown.inFilterThreshold (session.py) or the In
+# predicate degrades to a useless min/max range on hashed ids; (b) Spark
+# pushes In to parquet as a NESTED Or-chain whose row-group evaluation
+# recurses once per value — measured: 2000 values = StackOverflowError in
+# the scan task.  256 is ~8× below the measured overflow and still covers
+# the few-hot-hosts waves where row-group skipping pays; larger waves rely
+# on the broadcast-semi filter instead (BROADCAST_WAVE_KEYS_MAX).
+WAVE_HOST_IDS_CAP = 256
+
+# wave sizes up to this broadcast their (origin_id, path_id) key set into
+# the J6/J7 history semi-joins (2 longs/row → ~32 MB of rows at the cap,
+# well inside the executor/driver broadcast budget); bigger waves fall back
+# to one shuffle-hash semi whose partitioning the J6 window reuses
+BROADCAST_WAVE_KEYS_MAX = 2_000_000
 
 
 @dataclass
@@ -254,7 +266,7 @@ class CrawlEngine:
             store.commit(w)
             return {"wave": w, "ts": T, "fetched": 0, "parked": n_parked}
 
-        exch = self._exchange(wave, T, wave_buckets, wave_origin_ids)
+        exch = self._exchange(wave, T, wave_buckets, wave_origin_ids, n_wave=n_wave)
         # the robots-gate and fetch/denied unions CONCATENATE partitions
         # (32 → 128 through two unions) — coalesce back to the session
         # parallelism before checkpointing or every downstream write runs
@@ -359,6 +371,7 @@ class CrawlEngine:
         T: int,
         wave_buckets: list | None = None,
         wave_origin_ids: list | None = None,
+        n_wave: int | None = None,
     ) -> DataFrame:
         """Robots gate → fetch → digest → dedupe; one row per exchange.
 
@@ -389,8 +402,20 @@ class CrawlEngine:
             in_hosts = F.col("origin_id").isin([int(x) for x in wave_origin_ids])
             visits_hist = visits_hist.filter(in_hosts)
             warc_hist = warc_hist.filter(in_hosts)
-        visits_hist = visits_hist.join(wk.hint("shuffle_hash"), ["origin_id", "path_id"], "left_semi")
-        warc_hist = warc_hist.join(wk.hint("shuffle_hash"), ["origin_id", "path_id"], "left_semi")
+        if n_wave is not None and n_wave <= BROADCAST_WAVE_KEYS_MAX:
+            # wave keys fit a broadcast (2 longs/row; gate sized well under
+            # the driver budget): BROADCAST the semi so history rows are
+            # filtered at the SCAN side, before any exchange — the J6 as-of
+            # window then shuffles only the wave's ~k·hosts matching rows
+            # instead of the whole pruned history (10× history growth cost
+            # moves from the shuffle to a cheap columnar scan)
+            semi = F.broadcast(wk)
+        else:
+            # mega-wave fallback: one hash shuffle of the pruned history,
+            # whose (origin_id, path_id) partitioning the J6 window reuses
+            semi = wk.hint("shuffle_hash")
+        visits_hist = visits_hist.join(semi, ["origin_id", "path_id"], "left_semi")
+        warc_hist = warc_hist.join(semi, ["origin_id", "path_id"], "left_semi")
         gated = self._robots_gate(wave)
         allowed = gated.filter(F.col("allowed"))
         denied = (
@@ -870,23 +895,62 @@ class CrawlEngine:
                 )
                 self._bloom_bits = self._bloom_bits | delta_bits
             # exact check only for the (small) maybe-seen set; FPs drop out
-            # here.  One left join serves both purposes: unmatched rows are
-            # verified-new; matched rows with a DIFFERENT path are xxh64
-            # collisions (ref refuses to proceed, Url.java:30-50 identity).
-            hit = maybe_seen.join(cur, ["origin_id", "path_id"], "left")
-            if cfg.check_collisions:
-                bad = hit.filter(F.col("__p").isNotNull() & (F.col("path") != F.col("__p")))
-                clash = bad.limit(1).collect()
-                if clash:
-                    raise RuntimeError(f"Hash collision: {clash[0]['path']} vs {clash[0]['__p']}")
-            verified_new = hit.filter(F.col("__p").isNull()).drop("__p")
+            # here, and the collision check (same ids, different path — ref
+            # refuses to proceed, Url.java:30-50 identity) rides the same
+            # lookup.  JOIN SHAPE MATTERS AT SCALE: the r3 form was
+            # maybe_seen LEFT-OUTER frontier-keys, and a broadcast outer
+            # join must build the NON-preserved (frontier) side — so Spark
+            # sort-merged, shuffling the WHOLE frontier every wave (the
+            # dominant residual in the 20M-row frontier-growth curve).
+            # Decomposed into a broadcast left-SEMI (frontier streams, zero
+            # shuffle → `matched` = the few frontier rows whose key is
+            # maybe-seen) + tiny joins against `matched`:
+            if kinds.get("loc", 0) <= BROADCAST_WAVE_KEYS_MAX:
+                ms_keys = maybe_seen.select("origin_id", "path_id")
+                matched = cur.join(
+                    F.broadcast(ms_keys), ["origin_id", "path_id"], "left_semi"
+                ).persist()
+                self._disc_caches.append(matched)
+                if cfg.check_collisions:
+                    bad = matched.join(
+                        F.broadcast(maybe_seen.select("origin_id", "path_id", "path")),
+                        ["origin_id", "path_id"],
+                    ).filter(F.col("path") != F.col("__p"))
+                    clash = bad.limit(1).collect()
+                    if clash:
+                        raise RuntimeError(
+                            f"Hash collision: {clash[0]['path']} vs {clash[0]['__p']}"
+                        )
+                verified_new = maybe_seen.join(
+                    F.broadcast(matched.select("origin_id", "path_id")),
+                    ["origin_id", "path_id"],
+                    "left_anti",
+                )
+            else:
+                # candidate set too big to broadcast — r3 sort-merge path
+                hit = maybe_seen.join(cur, ["origin_id", "path_id"], "left")
+                if cfg.check_collisions:
+                    bad = hit.filter(
+                        F.col("__p").isNotNull() & (F.col("path") != F.col("__p"))
+                    )
+                    clash = bad.limit(1).collect()
+                    if clash:
+                        raise RuntimeError(
+                            f"Hash collision: {clash[0]['path']} vs {clash[0]['__p']}"
+                        )
+                verified_new = hit.filter(F.col("__p").isNull()).drop("__p")
             all_new = definite_new.unionByName(verified_new)
         elif cfg.check_collisions:
-            # bloom off: no maybe-seen subset exists — scan the keys view
+            # bloom off: no maybe-seen subset exists — scan the keys view.
+            # Inner join with the candidate side broadcast when bounded, so
+            # the frontier streams instead of shuffling
             cur = self.store.read_keys(
                 "frontier", ["origin_id", "path_id", "path"], staged=True
             ).select("origin_id", "path_id", F.col("path").alias("__p"))
-            bad = all_new.join(cur, ["origin_id", "path_id"], "inner").filter(F.col("path") != F.col("__p"))
+            cand = all_new.select("origin_id", "path_id", "path")
+            if kinds.get("loc", 0) <= BROADCAST_WAVE_KEYS_MAX:
+                cand = F.broadcast(cand)
+            bad = cur.join(cand, ["origin_id", "path_id"], "inner").filter(F.col("path") != F.col("__p"))
             clash = bad.limit(1).collect()
             if clash:
                 raise RuntimeError(f"Hash collision: {clash[0]['path']} vs {clash[0]['__p']}")

@@ -60,10 +60,14 @@ def get_spark(
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(32 * 1024 * 1024))
         # past this many values Spark degrades a parquet In-pushdown to a
         # min/max range — useless for uniformly-hashed origin_ids.  The
-        # per-wave history reads push isin(wave origin_ids) (≤ ~10k hosts)
-        # into the scan so key-sorted row groups inside touched buckets get
-        # skipped (see tables.append clustering)
-        .config("spark.sql.parquet.pushdown.inFilterThreshold", "10000")
+        # per-wave history reads push isin(wave origin_ids) into the scan so
+        # key-sorted row groups inside touched buckets get skipped (see
+        # tables.append clustering).  CAUTION: the pushed In is a nested
+        # Or-chain evaluated recursively per row group — thousands of values
+        # StackOverflowError the scan task (measured at 2000); crawl.py caps
+        # the pushed list at WAVE_HOST_IDS_CAP=256, and this threshold stays
+        # just above that cap
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "300")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
