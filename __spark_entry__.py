@@ -823,6 +823,59 @@ ORDER BY vec_a, vec_b
 """
 
 
+def q_phash_hamming_dups(spark, sf_dir):
+    """Image near-dup pairs by Hamming distance over 64-bit perceptual
+    hashes: multi-index banding → popcount verify
+    (extras/dedup.phash_dup_pairs — exact recall at dist < bands by
+    pigeonhole).  The driver testdata has no images table, so the query
+    derives a deterministic surrogate phash per document identically on
+    both engines: docs in the same group (doc_id % 100) share an
+    md5-derived 60-bit base code and every doc past the first generation
+    flips one bit (1 << doc_id % 60) — planting distance-0/1/2 near-dup
+    pairs end-to-end through the banded join and the XOR+popcount verify.
+    The real-pixel phash64 (block-mean 8×8 hash over decoded image bytes)
+    feeds the same operator in tests/test_imaging.py."""
+    from chronicrawl_spark.extras.dedup import phash_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    base = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ph|"), (F.col("doc_id") % 100).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    flip = F.when(
+        F.col("doc_id") >= 100,
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 60 AS INT))"),
+    ).otherwise(F.lit(0).cast("long"))
+    ph = docs.select(
+        F.col("doc_id").alias("image_id"), base.bitwiseXOR(flip).alias("phash")
+    )
+    return phash_dup_pairs(ph, max_dist=3)
+
+
+SQL_PHASH_HAMMING_DUPS = """
+WITH ph AS (
+  SELECT doc_id AS img_id,
+         xor(CAST(CONCAT('0x', substr(md5(CONCAT('ph|', CAST(doc_id % 100 AS VARCHAR))), 1, 15)) AS BIGINT),
+             CASE WHEN doc_id >= 100
+                  THEN (CAST(1 AS BIGINT) << CAST(doc_id % 60 AS INT))
+                  ELSE CAST(0 AS BIGINT) END) AS ph
+  FROM documents),
+bb AS (
+  SELECT img_id, ph, 0 AS band, (ph >> 0)  & 65535 AS bucket FROM ph
+  UNION ALL SELECT img_id, ph, 1, (ph >> 16) & 65535 FROM ph
+  UNION ALL SELECT img_id, ph, 2, (ph >> 32) & 65535 FROM ph
+  UNION ALL SELECT img_id, ph, 3, (ph >> 48) & 65535 FROM ph)
+SELECT DISTINCT x.img_id AS img_a, y.img_id AS img_b,
+       CAST(bit_count(xor(x.ph, y.ph)) AS BIGINT) AS hamming
+FROM bb x JOIN bb y ON x.band = y.band AND x.bucket = y.bucket AND x.img_id < y.img_id
+WHERE bit_count(xor(x.ph, y.ph)) <= 3
+ORDER BY img_a, img_b
+"""
+
+
 def q_embed_cosine_topk(spark, sf_dir):
     from chronicrawl_spark.extras.similarity import cosine_topk
 
@@ -896,6 +949,43 @@ SELECT qid, vec_id, cos_e6, rn
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_e6 DESC, vec_id ASC) AS rn
       FROM scored) t
 WHERE rn <= 5 ORDER BY qid, rn
+"""
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF-Flat ANN (extras/similarity.ivf_topk): deterministic
+    sample-as-centroid coarse quantizer, shuffle-free broadcast-fold
+    assignment, probe the 8 nearest of 16 cells, exact rerank inside —
+    the second scale path next to sign-LSH, per the IVF family the
+    training-pipeline brief names."""
+    from chronicrawl_spark.extras.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return ivf_topk(e, k=10, n_clusters=16, n_probe=8)
+
+
+_COS_E6 = (
+    "CAST(ROUND(list_sum(list_transform(range(1, len({a})+1), i -> {a}[i]*{b}[i]))"
+    " / (sqrt(list_sum(list_transform({a}, x -> x*x))) * sqrt(list_sum(list_transform({b}, x -> x*x))))"
+    " * 1000000) AS BIGINT)"
+)
+SQL_IVF_TOPK = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+s AS (SELECT e.vec_id, c.cid, {_COS_E6.format(a='v', b='cv')} AS sc FROM e CROSS JOIN c),
+assign AS (SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid ASC) AS rn FROM s) t
+  WHERE rn = 1),
+q AS (SELECT vec_id AS qid, v AS qv FROM e ORDER BY vec_id LIMIT 1),
+probe AS (SELECT cid FROM (
+    SELECT c.cid, {_COS_E6.format(a='cv', b='qv')} AS sc FROM c, q) t
+  ORDER BY sc DESC, cid ASC LIMIT 8),
+cand AS (SELECT vec_id FROM assign JOIN probe USING (cid))
+SELECT e.vec_id, {_COS_E6.format(a='v', b='qv')} AS cos_e6
+FROM e JOIN cand USING (vec_id), q
+ORDER BY cos_e6 DESC, e.vec_id ASC LIMIT 10
 """
 
 
@@ -1055,6 +1145,21 @@ def q_image_decode_verify(spark, sf_dir):
             yield pd.DataFrame(out, columns=["image_id", "phash_match", "psnr_ok", "caption"])
 
     return imgs.mapInPandas(verify, schema)
+
+
+def q_image_thumbnails(spark, sf_dir):
+    """Multimodal resize stage (rows-only: binary payloads aren't
+    SQL-expressible): decode → bilinear downscale → lossless PNG re-encode
+    in one Arrow-batched mapInPandas across all four codec formats
+    (extras/imaging.image_thumbnails).  Pixel/phash/poison-row invariants
+    are asserted in tests/test_imaging.py."""
+    from chronicrawl_spark.extras.imaging import image_thumbnails
+    from chronicrawl_spark.fixtures import make_images
+
+    imgs = make_images(spark, n=16, w=32, h=24)
+    return image_thumbnails(imgs, max_dim=16).select(
+        "image_id", "thumb_w", "thumb_h", "thumb_phash", "error"
+    )
 
 
 def q_schedule_next_fire(spark, sf_dir):
@@ -1224,9 +1329,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "embed_dup_pairs": q_embed_dup_pairs,
+        "phash_hamming_dups": q_phash_hamming_dups,
         "embed_cosine_topk": q_embed_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_multi_topk": q_ann_multi_topk,
+        "ivf_topk": q_ivf_topk,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
         "token_count": q_token_count,
@@ -1234,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # crawl-pipeline components — rows-only (non-SQL-expressible)
         "crawl_fixture_trace": q_crawl_fixture_trace,
         "image_decode_verify": q_image_decode_verify,
+        "image_thumbnails": q_image_thumbnails,
         "schedule_next_fire": q_schedule_next_fire,
         "bloom_urlseen": q_bloom_urlseen,
         "bloom_equivalence": q_bloom_equivalence,
@@ -1272,14 +1380,17 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "embed_dup_pairs": SQL_EMBED_DUPS,
+        "phash_hamming_dups": SQL_PHASH_HAMMING_DUPS,
         "embed_cosine_topk": SQL_EMBED_COSINE_TOPK,
         "ann_lsh_topk": SQL_ANN_LSH_TOPK,
         "ann_multi_topk": SQL_ANN_MULTI_TOPK,
+        "ivf_topk": SQL_IVF_TOPK,
         "text_langid": _sql_langid(),
         "text_quality": SQL_TEXT_QUALITY,
         "token_count": SQL_TOKEN_COUNT,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
-        # crawl_fixture_trace / image_decode_verify / schedule_next_fire /
+        # crawl_fixture_trace / image_decode_verify / image_thumbnails /
+        # schedule_next_fire /
         # bloom_urlseen / bloom_equivalence / j9_record_fetch: intentionally
         # omitted (non-SQL-expressible pipeline components; rows-only check)
     }

@@ -39,9 +39,11 @@ HEADLINE = [
     # inherent density, documented); the df-capped variant bounds the
     # quadratic bucket blowup and runs at headline scale
     "dedup_word_jaccard_guarded",
+    "phash_hamming_dups",
     "embed_cosine_topk",
     "ann_lsh_topk",
     "ann_multi_topk",
+    "ivf_topk",
     "text_quality",
     "token_count",
     "doc_fingerprint",

@@ -223,6 +223,108 @@ def ann_topk_multi(
     )
 
 
+def ivf_assign(embeddings: DataFrame, n_clusters: int = 16) -> DataFrame:
+    """IVF coarse-quantizer assignment: nearest centroid per vector.
+
+    Centroids are deterministic — the ``n_clusters`` smallest vec_ids ARE
+    the centroid vectors (sample-as-centroid quantizer), so the DuckDB
+    oracle derives identical centroids with no k-means RNG.  On a real
+    corpus the centroid table would come from a trained quantizer; the
+    assignment/probe plan below is unchanged by where centroids come from.
+
+    Plan shape (the part that matters at 100 TB): the centroid set is
+    collapsed to ONE broadcast row carrying an array<struct{cid, cvec}>,
+    and the argmax over centroids is a JVM higher-order fold per vector —
+    the corpus is scored and assigned in a single narrow map stage with
+    ZERO shuffle (the classic IVF assignment is a broadcast matmul; this
+    is its Catalyst HOF equivalent).  Scores are e6-rounded BIGINTs with a
+    cid-ascending tie-break so both engines pick the same centroid.
+    """
+    cents = (
+        embeddings.orderBy("vec_id")
+        .limit(n_clusters)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+        .groupBy()
+        .agg(F.collect_list(F.struct("cid", "cvec")).alias("cents"))
+    )
+    scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            F.round(
+                _dot(F.col("embedding"), c["cvec"])
+                / (_norm(F.col("embedding")) * _norm(c["cvec"]))
+                * 1e6
+            )
+            .cast("long")
+            .alias("s"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    best = F.aggregate(
+        scored,
+        F.struct(F.lit(-2_000_000).cast("long").alias("s"), F.lit(-1).cast("long").alias("cid")),
+        lambda acc, x: F.when(
+            (x["s"] > acc["s"]) | ((x["s"] == acc["s"]) & (x["cid"] < acc["cid"])), x
+        ).otherwise(acc),
+    )
+    return embeddings.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "embedding", best["cid"].alias("cid")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame, k: int = 10, n_clusters: int = 16, n_probe: int = 8
+) -> DataFrame:
+    """IVF-Flat ANN: probe the ``n_probe`` centroids nearest the query,
+    exact-rerank the vectors assigned to those clusters.
+
+    The scale path next to sign-LSH (``ann_topk``): assignment is a
+    shuffle-free broadcast fold (``ivf_assign``), the probe list is a tiny
+    broadcast semi-join, and the rerank touches only ~n_probe/n_clusters of
+    the corpus.  Returns (vec_id, cos_e6) — top-k of the probed set, the
+    contract the oracle mirrors.  Recall is data-dependent (IVF partitions
+    the space; isotropic random vectors spread true neighbors across all
+    cells — real embedding corpora cluster), hence the generous default
+    n_probe; tests/test_dedup_recall.py pins measured recall vs the exact
+    baseline on the synthetic corpus.
+    """
+    assigned = ivf_assign(embeddings, n_clusters)
+    q = query_vector(embeddings)
+    cents = (
+        embeddings.orderBy("vec_id")
+        .limit(n_clusters)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "cid",
+            F.round(_dot(F.col("cvec"), F.col("qvec")) / (_norm(F.col("cvec")) * _norm(F.col("qvec"))) * 1e6)
+            .cast("long")
+            .alias("s"),
+        )
+        .orderBy(F.col("s").desc(), F.col("cid").asc())
+        .limit(n_probe)
+        .select("cid")
+    )
+    cand = assigned.join(F.broadcast(probe), "cid", "left_semi")
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                _dot(F.col("embedding"), F.col("qvec"))
+                / (_norm(F.col("embedding")) * _norm(F.col("qvec")))
+                * 1e6
+            )
+            .cast("long")
+            .alias("cos_e6"),
+        )
+        .orderBy(F.col("cos_e6").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 def ann_topk(embeddings: DataFrame, k: int = 10, bands: int = 3, rows_per_band: int = 8) -> DataFrame:
     """ANN: candidates = any banded-LSH bucket shared with the query →
     exact rerank (band union lifts recall over the old single wide bucket).

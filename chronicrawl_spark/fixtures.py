@@ -159,6 +159,7 @@ def synthetic_frontier(
     now: int,
     skew_frac: float = 0.0,
     buckets_hint: int | None = None,
+    due_per_host: int | None = None,
 ):
     """Seeded synthetic (origins, frontier) DataFrames at scale.
 
@@ -166,6 +167,15 @@ def synthetic_frontier(
     identity (computed distributed, in an Arrow UDF — no driver loop).
     ``skew_frac`` moves that fraction of ALL locations onto host h0
     (hot-host fixture for the salted top-k, SURVEY §4.1).
+
+    ``due_per_host=None`` (default) makes every row due at ``now`` — the
+    cold-start worst case.  ``due_per_host=D`` builds the STEADY-STATE
+    frontier shape a continuous recrawl actually runs against: only the
+    first D locations of each host are due, the rest carry staggered
+    future ``next_visit`` values (spread over ~1000 hourly revisit slots),
+    so the due set stays fixed while the frontier grows — the 10^10-rows /
+    ~5M-due-per-wave regime of the north star.  With the state store's
+    next_visit clustering the due scan then prunes to O(due) row groups.
 
     Mirrors the reference's dummy-data harness shape (``Webapp.java:208-224``).
     """
@@ -198,7 +208,17 @@ def synthetic_frontier(
         F.lit(None).cast("long").alias("via_path_id"),
         F.lit(now).alias("discovered"),
         F.lit(None).cast("long").alias("last_visit"),
-        F.lit(now).alias("next_visit"),
+        (
+            F.lit(now)
+            if due_per_host is None
+            # location index within its host = id // n_origins (host = id %
+            # n_origins): first D per host due now, rest staggered over
+            # future hourly revisit slots — deterministic, skew-free
+            else F.when(
+                (F.col("id") / F.lit(n_origins)).cast("long") < F.lit(due_per_host),
+                F.lit(now),
+            ).otherwise(F.lit(now) + ((F.col("id") % 997) + 1) * F.lit(3_600_000))
+        ).alias("next_visit"),
     )
     origins = (
         u.select(F.col("u.origin").alias("origin"), F.col("u.origin_id").alias("origin_id"))

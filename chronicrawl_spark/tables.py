@@ -186,6 +186,27 @@ MUTABLE_TABLES = {
     "sitemap_entries": (SITEMAP_ENTRIES_SCHEMA, ["origin_id", "path_id"]),
     "rules": (RULES_SCHEMA, ["origin_id", "pattern"]),
 }
+
+# Base-file data clustering (Iceberg sort-order analog): rows inside each
+# bucket file of a mutable BASE version are sorted by these columns so the
+# parquet row-group min/max stats become selective for the table's hot read
+# predicate.  frontier/origins cluster on ``next_visit``: the wave-select
+# due filter (next_visit <= T) then skips the row groups holding
+# not-yet-due rows — nearly the whole table in steady state (a 10^10-row
+# frontier has ~5M due rows per wave).  The due filter commutes with the
+# MoR resolve on the preserved side of the broadcast anti-join, so the
+# predicate reaches these stats (pushdown pinned in tests/test_plans.py).
+# Key-ordered clustering serves the other tables' point/range lookups.
+MUTABLE_CLUSTER = {
+    "origins": ["next_visit"],
+    "frontier": ["next_visit"],
+    "sitemap_entries": ["origin_id", "path_id"],
+    "rules": ["origin_id"],
+}
+# Base writes cap the parquet row-group size so min/max skipping has
+# granularity at sandbox file sizes too (at the 128 MiB default a bucket
+# file below ~5M narrow rows is a single row group — nothing to skip).
+BASE_ROWGROUP_BYTES = 8 * 1024 * 1024
 # S11 (Database.java:455-474, Exchange.java:198-201): screenshot blobs per
 # visited location.  The producer in the reference is the headless browser
 # (S8, out of sandbox scope); the sink + newest-K expiry + W8 recency view
@@ -785,7 +806,9 @@ class StateStore:
             target = os.path.join(self.root, table, f"v{version}")
             (
                 out.repartition(max(1, len(touched)), "bucket")
+                .sortWithinPartitions("bucket", *MUTABLE_CLUSTER[table])
                 .write.mode("overwrite")
+                .option("parquet.block.size", BASE_ROWGROUP_BYTES)
                 .partitionBy("bucket")
                 .parquet(target)
             )
@@ -852,7 +875,9 @@ class StateStore:
         target = os.path.join(self.root, table, f"v{version}")
         (
             out.repartition(max(1, len(targets)), "bucket")
+            .sortWithinPartitions("bucket", *MUTABLE_CLUSTER[table])
             .write.mode("overwrite")
+            .option("parquet.block.size", BASE_ROWGROUP_BYTES)
             .partitionBy("bucket")
             .parquet(target)
         )

@@ -30,7 +30,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def run_once(n_origins: int, locs: int, k: int) -> dict:
+def run_once(n_origins: int, locs: int, k: int, due_per_host: int | None = None) -> dict:
     from chronicrawl_spark.crawl import CrawlConfig, CrawlEngine
     from chronicrawl_spark.fixtures import synthetic_frontier, synthetic_site_for_frontier
     from chronicrawl_spark.session import get_spark
@@ -40,7 +40,7 @@ def run_once(n_origins: int, locs: int, k: int) -> dict:
     spark = get_spark(f"frontgrowth-{locs}", cpus=16)
     tmp = tempfile.mkdtemp(prefix=f"front{locs}_", dir="/dev/shm")
     store = StateStore(spark, tmp + "/state", buckets=32)
-    origins, frontier = synthetic_frontier(spark, n_origins, locs, now)
+    origins, frontier = synthetic_frontier(spark, n_origins, locs, now, due_per_host=due_per_host)
     store.merge("origins", origins, "upsert")
     store.merge("frontier", frontier, "upsert")
     store.commit(0)
@@ -72,22 +72,32 @@ def main():
     locs = int(args[1]) if len(args) > 1 else 100
     k = int(args[2]) if len(args) > 2 else 25
     repeats = int(args[3]) if len(args) > 3 else 3
-    r1 = best_of(repeats, n_origins, locs, k)
-    r10 = best_of(repeats, n_origins, locs * 10, k)
+    # 5th arg: due locations per host (steady-state sliver mode).  Default
+    # None = cold-start (everything due at once) — the historical shape.
+    due_per_host = int(args[4]) if len(args) > 4 else None
+    r1 = best_of(repeats, n_origins, locs, k, due_per_host)
+    r10 = best_of(repeats, n_origins, locs * 10, k, due_per_host)
     ratio = round(r10["wave_secs"] / max(r1["wave_secs"], 1e-9), 2)
-    out = {"F": r1, "10F": r10, "wave_time_ratio_10x_frontier": ratio}
+    out = {"F": r1, "10F": r10, "wave_time_ratio_10x_frontier": ratio,
+           "due_per_host": due_per_host}
     print(json.dumps(out, indent=2))
+    mode = (
+        "cold-start (every row due)"
+        if due_per_host is None
+        else f"steady-state sliver ({due_per_host} due locations/host; the rest "
+        "staggered over future revisit slots — the 10^10-frontier/5M-due regime)"
+    )
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
         f.write(
             f"""
 
-## Merge-on-read frontier-growth evidence (per-wave cost vs frontier size)
+## Frontier-growth evidence — {mode}
 
 Same wave ({n_origins} origins × k={k} ⇒ {r1['fetched']:,} URLs/wave), frontier
 of F={r1['frontier_rows']:,} vs 10F={r10['frontier_rows']:,} rows (10× locations
 per host), best-of-{repeats} timed waves.  The MoR store writes O(wave) delta
-files per MERGE instead of the old COW full-bucket rewrite (O(frontier) per
-wave with uniform keys):
+files per MERGE instead of the old COW full-bucket rewrite; base files are
+clustered on next_visit so the due filter prunes row groups at the scan:
 
 | frontier rows | timed wave (s) | all runs |
 |---|---|---|

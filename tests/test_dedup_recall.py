@@ -130,3 +130,21 @@ def test_hyperplanes_distinct():
 
     planes = {hyperplane(b) for b in range(24)}
     assert len(planes) == 24
+
+
+def test_ivf_topk_recall(spark):
+    """IVF-Flat (probe 8 of 16 cells) must recover ≥90% of the exact
+    cosine top-10 on the synthetic corpus (measured 100% at sf0.01; IVF
+    recall is data-dependent — isotropic vectors are its worst case, so
+    the gate pins the floor, not the measurement)."""
+    from pyspark.sql import functions as F
+
+    from chronicrawl_spark.extras.similarity import cosine_topk, ivf_topk
+
+    e = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    exact = [r["vec_id"] for r in cosine_topk(e, k=10).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(e, k=10, n_clusters=16, n_probe=8).collect()]
+    assert len(set(exact) & set(approx)) / len(exact) >= 0.9

@@ -289,3 +289,92 @@ def test_images_fixture_table(spark):
         px = decode_image(bytes(r["bytes"]), r["fmt"])
         assert px.shape == (r["h"], r["w"], 3)
         assert phash64(px) == r["phash"]  # per-row invariant
+
+
+def test_phash_dup_pairs_real_images(spark):
+    """The banded phash join (extras/dedup.phash_dup_pairs) over REAL
+    pixels: perturbed copies of base images must be recovered exactly as
+    the numpy exhaustive hamming<=3 truth predicts — banding a Hamming
+    code is exact for dist < bands (pigeonhole), so sets must be EQUAL,
+    not merely overlapping."""
+    from pyspark.sql import types as T
+
+    from chronicrawl_spark.extras.dedup import phash_dup_pairs
+
+    rng = np.random.default_rng(7)
+    pxs = {}
+    for i in range(12):
+        pxs[f"b{i:02d}"] = make_test_image(32, 24, seed=i)
+    for i in range(6):  # near-dup: tiny pixel noise on a base image
+        noisy = pxs[f"b{i:02d}"].astype(np.int16) + rng.integers(-2, 3, (24, 32, 3))
+        pxs[f"n{i:02d}"] = np.clip(noisy, 0, 255).astype(np.uint8)
+    hashes = {k: phash64(v) for k, v in pxs.items()}
+    truth = {
+        (a, b)
+        for a in hashes
+        for b in hashes
+        if a < b and hamming64(hashes[a], hashes[b]) <= 3
+    }
+    assert truth, "fixture must contain at least one near-dup pair"
+    df = spark.createDataFrame(
+        [(k, v) for k, v in hashes.items()],
+        T.StructType(
+            [
+                T.StructField("image_id", T.StringType(), False),
+                T.StructField("phash", T.LongType(), False),
+            ]
+        ),
+    )
+    got = {
+        (r["img_a"], r["img_b"])
+        for r in phash_dup_pairs(df, max_dist=3).collect()
+    }
+    assert got == truth
+
+
+def test_resize_bilinear_properties():
+    from chronicrawl_spark.extras.imaging import resize_bilinear, thumbnail_dims
+
+    px = make_test_image(32, 24, seed=3)
+    assert np.array_equal(resize_bilinear(px, 32, 24), px)  # identity
+    down = resize_bilinear(px, 16, 12)
+    assert down.shape == (12, 16, 3)
+    # downscale of a smooth gradient ≈ block means: round-trip up→down is
+    # close to the original on smooth content
+    from chronicrawl_spark.extras.imaging import make_smooth_image
+
+    sm = make_smooth_image(16, 12, seed=1)
+    up = resize_bilinear(sm, 64, 48)
+    back = resize_bilinear(up, 16, 12)
+    assert psnr(sm, back) >= 40.0
+    assert thumbnail_dims(100, 50, 16) == (16, 8)
+    assert thumbnail_dims(50, 100, 16) == (8, 16)
+    assert thumbnail_dims(10, 8, 16) == (10, 8)
+
+
+def test_image_thumbnails_operator(spark):
+    """Arrow-batched resize stage: every fixture format decodes, thumbs
+    round-trip through the PNG codec, and a poison row reports an error
+    instead of failing the batch."""
+    from pyspark.sql import types as T
+
+    from chronicrawl_spark.extras.imaging import image_thumbnails
+    from chronicrawl_spark.fixtures import make_images
+
+    imgs = make_images(spark, n=8, w=32, h=24)
+    poison = spark.createDataFrame(
+        [("bad0", b"not an image", 32, 24, "png", "x", 0)], imgs.schema
+    )
+    out = {r["image_id"]: r for r in image_thumbnails(imgs.unionByName(poison), max_dim=16).collect()}
+    assert len(out) == 9
+    assert out["bad0"]["error"] is not None and out["bad0"]["thumbnail"] is None
+    for k, r in out.items():
+        if k == "bad0":
+            continue
+        assert r["error"] is None
+        assert (r["thumb_w"], r["thumb_h"]) == (16, 12)
+        px = decode_png(bytes(r["thumbnail"]))
+        assert px.shape == (12, 16, 3)
+        from chronicrawl_spark.extras.imaging import phash64 as ph
+
+        assert ph(px) == r["thumb_phash"]

@@ -178,3 +178,48 @@ def test_resume_from_snapshot(spark, store):
     store.resume_from(1)
     assert store.read("origins").count() == 2
     assert store.committed_wave == 1
+
+
+def test_base_files_clustered_on_next_visit(spark, store):
+    """Mutable BASE files are clustered (sorted within each bucket file) by
+    the table's hot predicate column — frontier/origins on ``next_visit`` —
+    so parquet row-group min/max stats prune the wave-select due scan
+    (tables.MUTABLE_CLUSTER).  Checked on both base-write paths: the fresh
+    seed write and a delta compaction."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    def _assert_sorted(table):
+        mf = store.manifest["mutable"][table]
+        for b, v in mf.items():
+            for f in glob.glob(
+                os.path.join(store.root, table, f"v{v}", f"bucket={b}", "*.parquet")
+            ):
+                nv = pq.read_table(f, columns=["next_visit"])["next_visit"].to_pylist()
+                nn = [x for x in nv if x is not None]
+                assert nn == sorted(nn), f"{f} not clustered on next_visit"
+
+    rows = [
+        (oid, pid, f"/p{pid}", "PAGE", 0, None, None, 100, None, (oid * 7919 + pid * 104729) % 5000)
+        for oid in range(1, 9)
+        for pid in range(40)
+    ]
+    f = spark.createDataFrame(rows, schema=store.read("frontier").schema)
+    store.merge("frontier", f, "upsert")  # fresh path → base write
+    store.commit(0)
+    _assert_sorted("frontier")
+
+    # delta + compact path: shuffled next_visit updates then force compaction
+    upd = spark.createDataFrame(
+        [
+            (oid, pid, f"/p{pid}", "PAGE", 0, None, None, 100, None, (oid * 31 + pid * 17) % 999)
+            for oid in range(1, 9)
+            for pid in range(40)
+        ],
+        schema=f.schema,
+    )
+    store.merge("frontier", upd, "upsert")
+    store.compact("frontier")
+    store.commit(1)
+    _assert_sorted("frontier")
