@@ -850,11 +850,27 @@ def make_paletted_image(w: int, h: int, seed: int = 0) -> np.ndarray:
     ).astype(np.uint8)
 
 
+def sniff_format(data: bytes) -> str | None:
+    """Image format from magic bytes (bmp/png/jpeg/gif), else None.  The
+    same prefixes are matched JVM-side by ``screenshots.IMAGE_MAGIC`` so
+    non-image payloads never reach the Python stage."""
+    if data[:2] == b"BM":
+        return "bmp"
+    if data[:4] == b"\x89PNG":
+        return "png"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if data[:4] == b"GIF8":
+        return "gif"
+    return None
+
+
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
     """Format dispatch — bmp, png, baseline jpeg and gif are all real
     from-scratch codecs (every content type the reference's seed data
-    names, schema.sql:102-112, decodes).  Unknown formats raise."""
-    f = (fmt or "").lower()
+    names, schema.sql:102-112, decodes).  ``fmt=None`` sniffs the magic
+    bytes.  Unknown formats raise."""
+    f = (fmt or sniff_format(data) or "").lower()
     if f == "bmp":
         return decode_bmp(data)
     if f == "png":
@@ -940,20 +956,41 @@ def thumbnail_dims(w: int, h: int, max_dim: int) -> tuple:
     return max(1, round(w * max_dim / h)), max_dim
 
 
-def image_thumbnails(images, max_dim: int = 16):
+def image_thumbnails(images, max_dim: int = 16, carry_cols: tuple = ()):
     """Multimodal resize stage over the image+caption table: decode →
     bilinear downscale (long edge = ``max_dim``) → lossless PNG re-encode,
-    as one Arrow-batched ``mapInPandas`` over (image_id, bytes, fmt, w, h)
-    — the per-batch shape a 100-TB media pipeline needs (payload bytes
-    never leave the executor; the stage is a narrow map, no shuffle).
-    Undecodable rows surface as ``error`` instead of failing the batch
-    (poison payloads must not kill a 10^10-row job).
+    as one Arrow-batched ``mapInPandas`` over (image_id, bytes, fmt) — the
+    per-batch shape a 100-TB media pipeline needs (payload bytes never
+    leave the executor; the stage is a narrow map, no shuffle).  A NULL
+    ``fmt`` is sniffed from magic bytes.  Undecodable rows surface as
+    ``error`` instead of failing the batch (poison payloads must not kill
+    a 10^10-row job).
+
+    ``carry_cols`` are echoed through the stage row-aligned, so consumers
+    (e.g. the screenshot-cache producer) keep their keys WITHOUT a
+    join-back that would shuffle the payload blobs.
 
     Returns (image_id, thumb_w, thumb_h, thumbnail binary, thumb_phash,
-    error).  On a production cluster the numpy codecs swap for PIL/libvips
-    inside this same stage; the Spark plumbing is unchanged.
+    error, *carry_cols).  On a production cluster the numpy codecs swap
+    for PIL/libvips inside this same stage; the Spark plumbing is
+    unchanged.
     """
     import pandas as pd
+    from pyspark.sql import types as T
+
+    in_types = {f.name: f.dataType for f in images.schema.fields}
+    base_cols = ["image_id", "thumb_w", "thumb_h", "thumbnail", "thumb_phash", "error"]
+    out_schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("thumb_w", T.IntegerType()),
+            T.StructField("thumb_h", T.IntegerType()),
+            T.StructField("thumbnail", T.BinaryType()),
+            T.StructField("thumb_phash", T.LongType()),
+            T.StructField("error", T.StringType()),
+        ]
+        + [T.StructField(c, in_types[c]) for c in carry_cols]
+    )
 
     def batches(frames):
         for pdf in frames:
@@ -968,12 +1005,11 @@ def image_thumbnails(images, max_dim: int = 16):
                     )
                 except Exception as e:  # noqa: BLE001 — poison-row isolation
                     out.append((r.image_id, None, None, None, None, str(e)[:200]))
-            yield pd.DataFrame(
-                out,
-                columns=["image_id", "thumb_w", "thumb_h", "thumbnail", "thumb_phash", "error"],
-            )
+            res = pd.DataFrame(out, columns=base_cols)
+            for c in carry_cols:  # row-aligned echo (one output row per input)
+                res[c] = pdf[c].values
+            yield res
 
-    return images.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(
-        batches,
-        "image_id string, thumb_w int, thumb_h int, thumbnail binary, thumb_phash long, error string",
+    return images.select("image_id", "bytes", "fmt", *carry_cols).mapInPandas(
+        batches, out_schema
     )

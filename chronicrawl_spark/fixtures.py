@@ -191,9 +191,10 @@ def synthetic_frontier(
     else:
         host_i = (F.col("id") % F.lit(n_origins)).cast("long")
     urls = base.select(
+        F.col("id"),  # kept for the due_per_host staggering below
         F.concat(
             F.lit("http://h"), host_i.cast("string"), F.lit(".example/p"), F.col("j").cast("string")
-        ).alias("raw_url")
+        ).alias("raw_url"),
     )
     # persist: origins and frontier both derive from this (and the state-store
     # merges would otherwise re-run the identity UDF per action)

@@ -68,3 +68,36 @@ def test_image_crawl_end_to_end(spark, tmp_path):
     for i, (image_id, src) in enumerate(sorted(img_rows.items())):
         body = page_bodies[f"{ORIGIN}/gallery/{int(image_id[3:])}"]
         assert src["caption"] in body
+
+
+def test_image_thumbnail_screenshot_producer(spark, tmp_path):
+    """S11 producer loop closed in-sandbox: fetched image payloads →
+    magic-byte prefilter → Arrow decode/resize stage → screenshot cache
+    rows (screenshot = original payload, thumbnail = bilinear PNG), with
+    HTML/robots payloads never reaching the Python stage."""
+    from chronicrawl_spark.extras.imaging import decode_png, resize_bilinear
+    from chronicrawl_spark.screenshots import (
+        derive_image_screenshots,
+        latest_screenshots,
+    )
+
+    images = make_images(spark, n=4, w=32, h=24)
+    site = image_site(spark, images, ORIGIN)
+    store = StateStore(spark, str(tmp_path / "state"), buckets=4)
+    engine = CrawlEngine(spark, store, site, CrawlConfig())
+    engine.add_seeds([ORIGIN], now=T0)
+    engine.run(max_waves=8, per_host_k=16)
+
+    wave = store.committed_wave + 1
+    derive_image_screenshots(store, wave, max_dim=16)
+    store.commit(wave)
+
+    shots = latest_screenshots(store).collect()
+    assert len(shots) == 4  # exactly the four image responses, nothing else
+    by_payload = {bytes(r["bytes"]): r for r in images.collect()}
+    for s in shots:
+        src = by_payload[bytes(s["screenshot"])]  # original blob intact
+        px = decode_image(bytes(s["screenshot"]), src["fmt"])
+        expected = resize_bilinear(px, 16, 12)
+        got = decode_png(bytes(s["thumbnail"]))
+        assert np.array_equal(got, expected)

@@ -132,3 +132,17 @@ def test_wave_selection_plan(spark, tmp_path):
         assert "robots_txt" not in cols
         assert "origin" not in cols
         assert "o_discovered" not in cols
+
+
+def test_thumbnail_producer_no_shuffle(spark, tmp_path):
+    """The derived-media producer (warc image responses → Arrow resize →
+    screenshot rows) must stay a narrow filter + map: ZERO exchanges —
+    payload blobs must never shuffle (screenshots.image_response_thumbnails
+    echoes keys through the stage instead of joining back)."""
+    from chronicrawl_spark.screenshots import image_response_thumbnails
+    from chronicrawl_spark.tables import StateStore
+
+    store = StateStore(spark, str(tmp_path / "state"), buckets=4)
+    warc = store.read("warc_records")  # empty relation, full schema
+    plan = formatted_plan(image_response_thumbnails(warc))
+    assert count_exchanges(plan) == 0
