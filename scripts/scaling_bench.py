@@ -174,7 +174,20 @@ def main():
     runs_n, runs_4n = runs[lo], runs[hi]
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # raw result (incl. per-run disk seed/HWM/end — the vacuum-bounded-disk
+    # evidence) survives even if stdout is lost to a dead pipe
+    with open(os.path.join(REPO, "BENCH", "scaling_result.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    # everything below the marker (growth benches, ceiling probe — written
+    # by their own scripts/hands) is preserved across re-runs
+    marker = "<!-- appended-sections -->"
+    baseline_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    tail_sections = ""
+    if os.path.exists(baseline_path):
+        prev = open(baseline_path).read()
+        if marker in prev:
+            tail_sections = "\n" + marker + prev.split(marker, 1)[1]
+    with open(baseline_path, "w") as f:
         f.write(
             f"""# BENCH/BASELINE — crawl-scheduler throughput + scaling evidence
 
@@ -187,9 +200,16 @@ N separate executor JVMs (own heap/GC/Python workers, shuffle over
 loopback), package shipped to executors as a zip (the spark-submit
 --py-files deployment shape).
 
-| executors | total cores | URLs fetched | wall sec | URLs/sec | eff vs {lo} exec | all runs (URLs/sec) |
-|---|---|---|---|---|---|---|
-{chr(10).join(f"| {s} | {best[s]['cores']} | {best[s]['urls']} | {best[s]['secs']} | {best[s]['urls_per_sec']} | {curve[s]} | {[r['urls_per_sec'] for r in runs[s]]} |" for s in sizes)}
+| executors | total cores | URLs fetched | wall sec | URLs/sec | eff vs {lo} exec | disk seed→HWM→end MB | all runs (URLs/sec) |
+|---|---|---|---|---|---|---|---|
+{chr(10).join(f"| {s} | {best[s]['cores']} | {best[s]['urls']} | {best[s]['secs']} | {best[s]['urls_per_sec']} | {curve[s]} | {best[s].get('disk_seed_mb', '—')}→{best[s].get('disk_hwm_mb', '—')}→{best[s].get('disk_end_mb', '—')} | {[r['urls_per_sec'] for r in runs[s]]} |" for s in sizes)}
+
+Disk columns: state-store bytes at seed, the pre-vacuum high-water mark,
+and after the end-of-wave ``vacuum(keep_snapshots=2)`` — snapshot expiry
+rides INSIDE the timed loop, so the reported throughput already pays the
+retention cost and the store's disk footprint stays bounded across
+arbitrarily many waves (orphan delta/version dirs are reclaimed every
+wave).
 
 **Scaling efficiency (T_{hi}exec/T_{lo}exec)/{hi // lo} = {eff}** (north_rule
 target ≥ 0.8).  Best-of-{repeats} per size, sizes interleaved; identical
@@ -221,7 +241,7 @@ Reference baseline: the reference crawler is strictly sequential — 1 fetch
 at a time, ≤ ~33 fetches/s implied by its 30 ms politeness cap
 (BASELINE.md).  The engine keeps per-host politeness identical and gets
 its throughput from host-level parallelism.
-"""
+{tail_sections}"""
         )
     print("wrote BENCH/BASELINE.md")
 
