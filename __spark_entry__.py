@@ -733,6 +733,51 @@ ORDER BY doc_a, doc_b, band
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Pairs → transitive-closure dedup clusters + keep-one-representative.
+
+    Distributed connected components (alternating large-star/small-star,
+    Kiveris et al. SoCC'14 — O(log n) rounds of two hash shuffles each)
+    over the MinHash-LSH candidate pairs; every document gets
+    (cluster_id = component min doc_id, is_rep).  The DuckDB oracle
+    computes the same closure with a recursive CTE — algorithm-independent
+    ground truth."""
+    from chronicrawl_spark.extras.dedup import minhash_lsh_candidates
+    from chronicrawl_spark.extras.graph import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs).select("doc_a", "doc_b")
+    return dedup_clusters(docs, pairs)
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE w AS (SELECT doc_id, string_split(lower(text),' ') AS l FROM documents),
+sh AS (SELECT doc_id, unnest(list_transform(range(1, GREATEST(len(l)-2,0)+1),
+              i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh FROM w),
+shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+sig AS (SELECT doc_id, {_MH_AGGS} FROM shd GROUP BY 1),
+b AS (SELECT 0 AS band, md5(mh0 || '|' || mh1) AS bucket, doc_id FROM sig
+      UNION ALL SELECT 1, md5(mh2 || '|' || mh3), doc_id FROM sig
+      UNION ALL SELECT 2, md5(mh4 || '|' || mh5), doc_id FROM sig),
+p AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+      FROM b a JOIN b b2 ON a.band = b2.band AND a.bucket = b2.bucket
+                        AND a.doc_id < b2.doc_id),
+und AS (SELECT doc_a AS u, doc_b AS v FROM p
+        UNION SELECT doc_b, doc_a FROM p),
+reach(node, r) AS (
+    SELECT u, u FROM und
+    UNION
+    SELECT und.v, reach.r FROM reach JOIN und ON und.u = reach.node),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT d.doc_id,
+       CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN COALESCE(c.component, d.doc_id) = d.doc_id
+            THEN 1 ELSE 0 END AS INT) AS is_rep
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     from chronicrawl_spark.extras.dedup import simhash
 
@@ -1328,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
         "embed_dup_pairs": q_embed_dup_pairs,
         "phash_hamming_dups": q_phash_hamming_dups,
         "embed_cosine_topk": q_embed_cosine_topk,
@@ -1379,6 +1425,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
         "dedup_simhash": SQL_DEDUP_SIMHASH,
+        "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "embed_dup_pairs": SQL_EMBED_DUPS,
         "phash_hamming_dups": SQL_PHASH_HAMMING_DUPS,
         "embed_cosine_topk": SQL_EMBED_COSINE_TOPK,

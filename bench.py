@@ -39,6 +39,7 @@ HEADLINE = [
     # inherent density, documented); the df-capped variant bounds the
     # quadratic bucket blowup and runs at headline scale
     "dedup_word_jaccard_guarded",
+    "dedup_clusters",
     "phash_hamming_dups",
     "embed_cosine_topk",
     "ann_lsh_topk",

@@ -1,0 +1,136 @@
+"""Distributed connected components — near-dup PAIRS → dedup CLUSTERS.
+
+Every candidate generator in ``extras.dedup`` emits pairs; a training-data
+pipeline needs the transitive closure of those pairs (clusters) plus a
+keep-one-representative policy.  At 10^10 documents the closure cannot be
+a driver-side union-find, so this implements the **alternating
+large-star / small-star algorithm** (Kiveris et al., "Connected Components
+in MapReduce and Beyond", ACM SoCC 2014): each round is two
+groupBy-shuffles over the current edge set, the edge set only shrinks
+toward star graphs rooted at each component's minimum id, and convergence
+takes O(log n) rounds even on a path graph — the shape that makes plain
+min-label propagation take O(diameter) rounds.
+
+Scale notes:
+- per round: 2 hash shuffles on node id (same key both phases); edges
+  between rounds are ``localCheckpoint``-ed so the loop's lineage (and
+  thus task binary size / replay cost) stays O(1) in the round count.
+- the convergence probe is one scalar aggregate per round (count +
+  commutative xxhash64 checksum) — no driver-side edge materialisation.
+- output is (node, component) where component = min doc id reachable;
+  singletons are handled by the caller (left join + coalesce) so the
+  edge loop never carries the full corpus, only the pair graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _canon(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge set canonicalised to u < v, self-loops dropped."""
+    u = F.least(F.col(src), F.col(dst)).alias("u")
+    v = F.greatest(F.col(src), F.col(dst)).alias("v")
+    return edges.select(u, v).filter(F.col("u") != F.col("v")).distinct()
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbour of u to min(N(u) ∪ {u}).
+
+    A window min instead of collect_set+explode: the neighborhood of a
+    10^9-member component's root never materialises as one in-memory
+    array — rows stream through the same single hash shuffle on u.
+    """
+    from pyspark.sql import Window
+
+    nbr = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    m = F.least(F.col("u"), F.min("v").over(Window.partitionBy("u")))
+    out = nbr.withColumn("m", m).filter(F.col("v") > F.col("u"))
+    return (
+        out.filter(F.col("v") != F.col("m"))
+        .select(F.least("v", "m").alias("u"), F.greatest("v", "m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient each edge large→small, connect N(u) ∪ {u} to its minimum."""
+    from pyspark.sql import Window
+
+    # edges are canonical u < v, so the large endpoint is v
+    nbr = edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    out = nbr.withColumn("m", F.min("v").over(Window.partitionBy("u")))
+    links = out.select(F.col("v").alias("n"), F.col("m")).unionByName(
+        out.select(F.col("u").alias("n"), F.col("m")).distinct()
+    )
+    return (
+        links.filter(F.col("n") != F.col("m"))
+        .select(F.least("n", "m").alias("u"), F.greatest("n", "m").alias("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 50
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``; component =
+    the minimum node id in its connected component.
+
+    Alternating large-star/small-star until the edge set reaches a fixed
+    point (count + commutative checksum — one scalar agg per round).
+    """
+    edges = _canon(pairs, src, dst).localCheckpoint(eager=True)
+
+    def _probe(e: DataFrame):
+        # bit_xor: commutative and overflow-free under ANSI mode (edges
+        # are distinct, so xor cancellation can't alias two edge sets of
+        # equal count except by 64-bit hash collision)
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = _probe(edges)
+    for _ in range(max_iter):
+        if prev[0] == 0:
+            break
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        cur = _probe(nxt)
+        edges.unpersist()
+        edges = nxt
+        if cur == prev:
+            break
+        prev = cur
+
+    # converged: every edge is (root, member) with root = component min
+    members = edges.select(F.col("v").alias("node"), F.col("u").alias("component"))
+    roots = edges.select(F.col("u").alias("node"), F.col("u").alias("component"))
+    return (
+        members.unionByName(roots)
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+
+
+def dedup_clusters(docs: DataFrame, pairs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Cluster assignment + keep-one-representative over the WHOLE corpus.
+
+    Returns (key, cluster_id, is_rep): cluster_id = min doc id of the
+    component (own id for singletons), is_rep = 1 for the kept document.
+    The corpus side is one broadcast-or-shuffle left join against the
+    (tiny relative to corpus) component map — the dedup-pipeline shape:
+    ``docs.filter(is_rep == 1)`` is the deduplicated training set.
+    """
+    cc = connected_components(pairs)
+    return docs.select(key).join(
+        cc.withColumnRenamed("node", key), key, "left"
+    ).select(
+        F.col(key),
+        F.coalesce("component", F.col(key)).alias("cluster_id"),
+        (F.coalesce("component", F.col(key)) == F.col(key))
+        .cast("int")
+        .alias("is_rep"),
+    )

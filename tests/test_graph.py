@@ -1,0 +1,98 @@
+"""Connected-components dedup clustering (extras/graph.py).
+
+Truth oracle: a plain-Python union-find over the same edge list — the
+algorithm-independent definition of the transitive closure.
+"""
+
+import random
+
+from pyspark.sql import functions as F
+
+from chronicrawl_spark.extras.graph import connected_components, dedup_clusters
+
+
+def _uf_components(edges, nodes=None):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out = {}
+    for n in set([x for e in edges for x in e]) | set(nodes or []):
+        out[n] = find(n)
+    return out
+
+
+def _run_cc(spark, edges):
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    return got
+
+
+def test_cc_hand_graph(spark):
+    edges = [(1, 2), (2, 3), (5, 6)]
+    got = _run_cc(spark, edges)
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+def test_cc_path_graph_log_rounds(spark):
+    # a 64-node path is the worst case for plain label propagation
+    # (diameter 63); large-star/small-star must still converge inside
+    # the max_iter=50 budget — and does, in O(log n) rounds
+    edges = [(i, i + 1) for i in range(63)]
+    got = _run_cc(spark, edges)
+    assert set(got.values()) == {0}
+    assert len(got) == 64
+
+
+def test_cc_matches_union_find_random(spark):
+    rng = random.Random(42)
+    nodes = list(range(200))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(150)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    want = _uf_components(edges)
+    got = _run_cc(spark, edges)
+    assert got == want
+
+
+def test_cc_duplicate_and_reversed_edges(spark):
+    edges = [(2, 1), (1, 2), (2, 1), (3, 2), (9, 8)]
+    got = _run_cc(spark, edges)
+    assert got == {1: 1, 2: 1, 3: 1, 8: 8, 9: 8}
+
+
+def test_dedup_clusters_representatives(spark):
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5), (6, 7)], "doc_a long, doc_b long"
+    )
+    rows = {r["doc_id"]: (r["cluster_id"], r["is_rep"]) for r in dedup_clusters(docs, pairs).collect()}
+    assert rows == {
+        0: (0, 1), 3: (0, 0), 5: (0, 0),
+        6: (6, 1), 7: (6, 0),
+        1: (1, 1), 2: (2, 1), 4: (4, 1),
+    }
+    # the deduplicated corpus = one representative per cluster
+    kept = sorted(k for k, (_c, rep) in rows.items() if rep)
+    assert kept == [0, 1, 2, 4, 6]
+
+
+def test_cc_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(pairs).count() == 0
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    rows = {r["doc_id"]: (r["cluster_id"], r["is_rep"]) for r in dedup_clusters(docs, pairs).collect()}
+    assert rows == {1: (1, 1), 2: (2, 1)}
