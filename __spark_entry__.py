@@ -921,6 +921,53 @@ ORDER BY img_a, img_b
 """
 
 
+def q_phash_clusters(spark, sf_dir):
+    """Image near-dup CLUSTERS: connected components over the banded
+    phash Hamming pairs (q_phash_hamming_dups) + keep-one-representative —
+    the image-axis twin of dedup_clusters.  The planted surrogate codes
+    make each doc_id%100 group one fully-connected near-dup cluster, so
+    the expected output is 100 five-member clusters at sf0.01."""
+    from chronicrawl_spark.extras.graph import dedup_clusters
+
+    pairs = q_phash_hamming_dups(spark, sf_dir).select(
+        F.col("img_a").alias("doc_a"), F.col("img_b").alias("doc_b")
+    )
+    imgs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("image_id"))
+    return dedup_clusters(imgs, pairs, key="image_id")
+
+
+SQL_PHASH_CLUSTERS = """
+WITH RECURSIVE ph AS (
+  SELECT doc_id AS img_id,
+         xor(CAST(CONCAT('0x', substr(md5(CONCAT('ph|', CAST(doc_id % 100 AS VARCHAR))), 1, 15)) AS BIGINT),
+             CASE WHEN doc_id >= 100
+                  THEN (CAST(1 AS BIGINT) << CAST(doc_id % 60 AS INT))
+                  ELSE CAST(0 AS BIGINT) END) AS ph
+  FROM documents),
+bb AS (
+  SELECT img_id, ph, 0 AS band, (ph >> 0)  & 65535 AS bucket FROM ph
+  UNION ALL SELECT img_id, ph, 1, (ph >> 16) & 65535 FROM ph
+  UNION ALL SELECT img_id, ph, 2, (ph >> 32) & 65535 FROM ph
+  UNION ALL SELECT img_id, ph, 3, (ph >> 48) & 65535 FROM ph),
+p AS (SELECT DISTINCT x.img_id AS a, y.img_id AS b
+      FROM bb x JOIN bb y ON x.band = y.band AND x.bucket = y.bucket
+                         AND x.img_id < y.img_id
+      WHERE bit_count(xor(x.ph, y.ph)) <= 3),
+und AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+reach(node, r) AS (
+    SELECT u, u FROM und
+    UNION
+    SELECT und.v, reach.r FROM reach JOIN und ON und.u = reach.node),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT d.doc_id AS image_id,
+       CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN COALESCE(c.component, d.doc_id) = d.doc_id
+            THEN 1 ELSE 0 END AS INT) AS is_rep
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+ORDER BY image_id
+"""
+
+
 def q_embed_cosine_topk(spark, sf_dir):
     from chronicrawl_spark.extras.similarity import cosine_topk
 
@@ -1376,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "embed_dup_pairs": q_embed_dup_pairs,
         "phash_hamming_dups": q_phash_hamming_dups,
+        "phash_clusters": q_phash_clusters,
         "embed_cosine_topk": q_embed_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_multi_topk": q_ann_multi_topk,
@@ -1428,6 +1476,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "embed_dup_pairs": SQL_EMBED_DUPS,
         "phash_hamming_dups": SQL_PHASH_HAMMING_DUPS,
+        "phash_clusters": SQL_PHASH_CLUSTERS,
         "embed_cosine_topk": SQL_EMBED_COSINE_TOPK,
         "ann_lsh_topk": SQL_ANN_LSH_TOPK,
         "ann_multi_topk": SQL_ANN_MULTI_TOPK,

@@ -41,6 +41,7 @@ HEADLINE = [
     "dedup_word_jaccard_guarded",
     "dedup_clusters",
     "phash_hamming_dups",
+    "phash_clusters",
     "embed_cosine_topk",
     "ann_lsh_topk",
     "ann_multi_topk",
