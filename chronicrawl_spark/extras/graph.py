@@ -37,17 +37,24 @@ def _canon(edges: DataFrame, src: str, dst: str) -> DataFrame:
 def _large_star(edges: DataFrame) -> DataFrame:
     """Connect every strictly-larger neighbour of u to min(N(u) ∪ {u}).
 
-    A window min instead of collect_set+explode: the neighborhood of a
-    10^9-member component's root never materialises as one in-memory
-    array — rows stream through the same single hash shuffle on u.
+    groupBy-min + equi-join instead of collect_set+explode or a window:
+    the min is computed with map-side partial aggregation (skew-immune —
+    a 10^9-member component root never funnels its whole neighborhood
+    into one task), and the join back is a plain shuffled equi-join that
+    AQE's skew-split can break up; a window over partitionBy(u) would
+    pin the hot root's rows to a single unsplittable partition.
     """
-    from pyspark.sql import Window
-
     nbr = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    m = F.least(F.col("u"), F.min("v").over(Window.partitionBy("u")))
-    out = nbr.withColumn("m", m).filter(F.col("v") > F.col("u"))
+    mins = nbr.groupBy("u").agg(F.min("v").alias("_mn"))
+    m = F.least(F.col("u"), F.col("_mn"))
+    out = (
+        nbr.join(mins, "u")
+        .withColumn("m", m)
+        .drop("_mn")
+        .filter(F.col("v") > F.col("u"))
+    )
     return (
         out.filter(F.col("v") != F.col("m"))
         .select(F.least("v", "m").alias("u"), F.greatest("v", "m").alias("v"))
@@ -56,12 +63,13 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
-    """Orient each edge large→small, connect N(u) ∪ {u} to its minimum."""
-    from pyspark.sql import Window
+    """Orient each edge large→small, connect N(u) ∪ {u} to its minimum.
 
+    Same skew-safe groupBy-min + join shape as ``_large_star``.
+    """
     # edges are canonical u < v, so the large endpoint is v
     nbr = edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    out = nbr.withColumn("m", F.min("v").over(Window.partitionBy("u")))
+    out = nbr.join(nbr.groupBy("u").agg(F.min("v").alias("m")), "u")
     links = out.select(F.col("v").alias("n"), F.col("m")).unionByName(
         out.select(F.col("u").alias("n"), F.col("m")).distinct()
     )
