@@ -80,16 +80,57 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _local_components(edges: DataFrame) -> DataFrame:
+    """Driver-side union-find for small edge sets — the size-gated fast
+    path (same cost class as the store's ≤100k bloom-delta collect): a
+    post-LSH candidate graph is typically a sliver of the corpus, and the
+    distributed loop would pay ~5 rounds × 2 shuffles of pure stage floor
+    on it.  Semantics identical to the distributed path (tested equal)."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in edges.collect():
+        ra, rb = find(row["u"]), find(row["v"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    node_t = edges.schema["u"].dataType
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("node", node_t), T.StructField("component", node_t)]
+    )
+    rows = [(n, find(n)) for n in parent]
+    return edges.sparkSession.createDataFrame(rows, schema)
+
+
 def connected_components(
-    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 50
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 50,
+    local_threshold: int = 200_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``; component =
     the minimum node id in its connected component.
 
-    Alternating large-star/small-star until the edge set reaches a fixed
-    point (count + commutative checksum — one scalar agg per round).
+    Edge sets at or below ``local_threshold`` take the driver union-find
+    fast path; larger graphs run alternating large-star/small-star until
+    the edge set reaches a fixed point (count + commutative checksum —
+    one scalar agg per round).
     """
     edges = _canon(pairs, src, dst).localCheckpoint(eager=True)
+    if local_threshold and edges.count() <= local_threshold:
+        out = _local_components(edges)
+        edges.unpersist()
+        return out
 
     def _probe(e: DataFrame):
         # bit_xor: commutative and overflow-free under ANSI mode (edges

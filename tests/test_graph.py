@@ -31,11 +31,11 @@ def _uf_components(edges, nodes=None):
     return out
 
 
-def _run_cc(spark, edges):
+def _run_cc(spark, edges, local_threshold=200_000):
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
     got = {
         r["node"]: r["component"]
-        for r in connected_components(df).collect()
+        for r in connected_components(df, local_threshold=local_threshold).collect()
     }
     return got
 
@@ -51,7 +51,7 @@ def test_cc_path_graph_log_rounds(spark):
     # (diameter 63); large-star/small-star must still converge inside
     # the max_iter=50 budget — and does, in O(log n) rounds
     edges = [(i, i + 1) for i in range(63)]
-    got = _run_cc(spark, edges)
+    got = _run_cc(spark, edges, local_threshold=0)
     assert set(got.values()) == {0}
     assert len(got) == 64
 
@@ -64,8 +64,10 @@ def test_cc_matches_union_find_random(spark):
     ]
     edges = [(a, b) for a, b in edges if a != b]
     want = _uf_components(edges)
-    got = _run_cc(spark, edges)
-    assert got == want
+    # distributed star loop (local_threshold=0) and driver fast path must
+    # both match the union-find truth — and therefore each other
+    assert _run_cc(spark, edges, local_threshold=0) == want
+    assert _run_cc(spark, edges) == want
 
 
 def test_cc_duplicate_and_reversed_edges(spark):
