@@ -778,6 +778,35 @@ ORDER BY d.doc_id
 """
 
 
+def q_dedup_clusters_incremental(spark, sf_dir):
+    """Two-phase incremental clustering: close over half the candidate
+    pairs, then fold the other half in via ``incremental_components``
+    (the per-wave crawl shape — only touched clusters pay).  The
+    incremental invariant makes the BATCH closure its exact oracle:
+    incremental(batch(P1), P2) == batch(P1 ∪ P2), so the DuckDB side is
+    the same recursive CTE as dedup_clusters."""
+    from chronicrawl_spark.extras.dedup import minhash_lsh_candidates
+    from chronicrawl_spark.extras.graph import (
+        connected_components,
+        incremental_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs).select("doc_a", "doc_b")
+    parity = (F.col("doc_a") + F.col("doc_b")) % 2
+    base = connected_components(pairs.filter(parity == 0))
+    cc = incremental_components(base, pairs.filter(parity != 0))
+    return docs.select("doc_id").join(
+        cc.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        F.col("doc_id"),
+        F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+        (F.coalesce("component", F.col("doc_id")) == F.col("doc_id"))
+        .cast("int")
+        .alias("is_rep"),
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     from chronicrawl_spark.extras.dedup import simhash
 
@@ -1421,6 +1450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_incremental": q_dedup_clusters_incremental,
         "embed_dup_pairs": q_embed_dup_pairs,
         "phash_hamming_dups": q_phash_hamming_dups,
         "phash_clusters": q_phash_clusters,
@@ -1474,6 +1504,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
+        "dedup_clusters_incremental": SQL_DEDUP_CLUSTERS,
         "embed_dup_pairs": SQL_EMBED_DUPS,
         "phash_hamming_dups": SQL_PHASH_HAMMING_DUPS,
         "phash_clusters": SQL_PHASH_CLUSTERS,

@@ -164,6 +164,66 @@ def connected_components(
     )
 
 
+def incremental_components(
+    existing: DataFrame,
+    new_pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Fold a new batch of near-dup pairs into an existing (node,
+    component) assignment WITHOUT recomputing the closure over the whole
+    corpus — the per-wave shape of a continuous crawl: each wave's new
+    documents generate candidate pairs against themselves and the corpus,
+    and only the touched clusters should pay anything.
+
+    Sound because component id = min member id: rewriting every known
+    endpoint to its component id preserves the union's closure exactly
+    (a bridge between two old clusters links their two component ids
+    through the new node; the delta closure's min equals the global min).
+    Cost is one CC over the DELTA graph (new nodes + touched component
+    ids — a sliver) plus one join to relabel members of merged clusters.
+
+    Returns the UPDATED full assignment (old nodes relabelled where
+    clusters merged, new nodes appended).  Invariant (tested):
+    ``incremental(batch(P1), P2) == batch(P1 ∪ P2)``.
+    """
+    ex_a = existing.select(
+        F.col("node").alias(src), F.col("component").alias("_ca")
+    )
+    ex_b = existing.select(
+        F.col("node").alias(dst), F.col("component").alias("_cb")
+    )
+    rewritten = (
+        new_pairs.join(ex_a, src, "left")
+        .join(ex_b, dst, "left")
+        .select(
+            F.coalesce("_ca", F.col(src)).alias("doc_a"),
+            F.coalesce("_cb", F.col(dst)).alias("doc_b"),
+        )
+    )
+    delta = connected_components(rewritten)
+
+    # relabel members of touched clusters (component id appeared as a
+    # delta node and resolved to a smaller component)
+    comp_map = delta.select(
+        F.col("node").alias("component"), F.col("component").alias("_newc")
+    )
+    updated = existing.join(comp_map, "component", "left").select(
+        "node", F.coalesce("_newc", "component").alias("component")
+    )
+    # genuinely-new nodes = delta nodes that are not existing nodes AND
+    # not existing component ids (those were rewritten stand-ins)
+    new_nodes = (
+        delta.join(existing.select("node"), "node", "left_anti")
+        .join(
+            existing.select(F.col("component").alias("node")).distinct(),
+            "node",
+            "left_anti",
+        )
+    )
+    return updated.unionByName(new_nodes)
+
+
 def dedup_clusters(docs: DataFrame, pairs: DataFrame, key: str = "doc_id") -> DataFrame:
     """Cluster assignment + keep-one-representative over the WHOLE corpus.
 

@@ -98,3 +98,52 @@ def test_cc_empty_pairs(spark):
     docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
     rows = {r["doc_id"]: (r["cluster_id"], r["is_rep"]) for r in dedup_clusters(docs, pairs).collect()}
     assert rows == {1: (1, 1), 2: (2, 1)}
+
+
+def test_incremental_matches_batch(spark):
+    from chronicrawl_spark.extras.graph import incremental_components
+
+    rng = random.Random(7)
+    old_nodes = list(range(100))
+    # new ids interleave BELOW and above old ids (hash ids aren't
+    # monotonic in a crawl) — the min-id invariant must still hold
+    new_nodes = [-5, -2] + list(range(100, 140))
+    p1 = [(rng.choice(old_nodes), rng.choice(old_nodes)) for _ in range(60)]
+    p2 = (
+        [(rng.choice(new_nodes), rng.choice(new_nodes)) for _ in range(25)]
+        + [(rng.choice(new_nodes), rng.choice(old_nodes)) for _ in range(25)]
+        + [(rng.choice(old_nodes), rng.choice(old_nodes)) for _ in range(5)]  # late old-old edges
+    )
+    p1 = [(a, b) for a, b in p1 if a != b]
+    p2 = [(a, b) for a, b in p2 if a != b]
+
+    df1 = spark.createDataFrame(p1, "doc_a long, doc_b long")
+    df2 = spark.createDataFrame(p2, "doc_a long, doc_b long")
+    both = spark.createDataFrame(p1 + p2, "doc_a long, doc_b long")
+
+    base = connected_components(df1)
+    inc = {
+        r["node"]: r["component"]
+        for r in incremental_components(base, df2).collect()
+    }
+    batch = {
+        r["node"]: r["component"] for r in connected_components(both).collect()
+    }
+    # every node of the union graph, identically labelled
+    assert inc == batch
+
+
+def test_incremental_merges_two_clusters(spark):
+    from chronicrawl_spark.extras.graph import incremental_components
+
+    base = connected_components(
+        spark.createDataFrame([(1, 2), (10, 11)], "doc_a long, doc_b long")
+    )
+    # new doc 50 bridges both clusters
+    inc = {
+        r["node"]: r["component"]
+        for r in incremental_components(
+            base, spark.createDataFrame([(50, 2), (50, 11)], "doc_a long, doc_b long")
+        ).collect()
+    }
+    assert inc == {1: 1, 2: 1, 10: 1, 11: 1, 50: 1}
