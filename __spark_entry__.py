@@ -1410,6 +1410,134 @@ def q_j9_record_fetch(spark, sf_dir):
     )
 
 
+def q_aimd_backfill(spark, sf_dir):
+    """C11 as a standalone set operation: recompute AIMD next-visits for an
+    entire visit history in one lag-window pass (streaming/aimd_stream.
+    aimd_batch — the batch twin of the applyInPandasWithState operator).
+    Events table mapped to visit events: key=(user_id, ascii of event
+    type), date=epoch ms, unchanged=(value<100)."""
+    from chronicrawl_spark.streaming.aimd_stream import aimd_batch
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("origin_id"),
+        F.ascii(F.substring("event_type", 1, 1)).cast("long").alias("path_id"),
+        _ms("ts").alias("date"),
+        (F.col("value") < 100).alias("unchanged"),
+    )
+    return aimd_batch(ev, 60_000, 3_600_000)
+
+
+SQL_AIMD_BACKFILL = """
+WITH ev AS (
+  SELECT user_id AS origin_id,
+         CAST(ascii(substr(event_type, 1, 1)) AS BIGINT) AS path_id,
+         epoch_ms(ts) AS d,
+         (value < 100) AS unchanged
+  FROM events
+), lagged AS (
+  SELECT origin_id, path_id, d,
+         lag(d) OVER (PARTITION BY origin_id, path_id ORDER BY d) AS last_v,
+         unchanged
+  FROM ev
+)
+SELECT origin_id, path_id, d AS date,
+       CASE WHEN last_v IS NULL THEN NULL ELSE
+         d + LEAST(GREATEST(
+               CASE WHEN unchanged THEN (d - last_v) // 2 ELSE (d - last_v) * 2 END,
+               60000), 3600000)
+       END AS next_visit_aimd
+FROM lagged
+"""
+
+
+def q_aimd_stream_parity(spark, sf_dir):
+    """Custom stateful streaming operator (rows-only: stateful streaming is
+    non-SQL-expressible): per-location AIMD revisit state maintained across
+    micro-batches with applyInPandasWithState, replayed one wave per
+    trigger, compared row-for-row against the declarative batch twin.
+    Returns a one-row summary (parity asserted in tests/test_streaming.py
+    too)."""
+    import os
+
+    from chronicrawl_spark.streaming.aimd_stream import aimd_batch, aimd_stream
+
+    MIN_MS, MAX_MS = 60_000, 3_600_000
+    tmp = tempfile.mkdtemp(prefix="aimd_stream_")
+    t, all_rows = 1_600_000_000_000, []
+    for wave in range(4):
+        t += [45_000, 300_000, 7_200_000, 95_000][wave]
+        rows = [(100 + loc, 200 + loc, t + loc, (wave + loc) % 2 == 0) for loc in range(5)]
+        all_rows += rows
+        spark.createDataFrame(
+            rows, "origin_id long, path_id long, date long, unchanged boolean"
+        ).coalesce(1).write.parquet(f"{tmp}/events/w{wave}")
+    stream = (
+        spark.readStream.schema("origin_id long, path_id long, date long, unchanged boolean")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/events/w*")
+    )
+    q = (
+        aimd_stream(stream, MIN_MS, MAX_MS)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("aimd_parity_out")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r["origin_id"], r["path_id"], r["date"]): r["next_visit_aimd"]
+        for r in spark.sql("SELECT * FROM aimd_parity_out").collect()
+    }
+    events = spark.createDataFrame(
+        all_rows, "origin_id long, path_id long, date long, unchanged boolean"
+    )
+    batched = {
+        (r["origin_id"], r["path_id"], r["date"]): r["next_visit_aimd"]
+        for r in aimd_batch(events, MIN_MS, MAX_MS).collect()
+    }
+    return spark.createDataFrame(
+        [(len(streamed), len(batched), streamed == batched)],
+        "n_streamed long, n_batch long, parity boolean",
+    )
+
+
+def q_audio_features(spark, sf_dir):
+    """Multimodal audio plumbing (rows-only: binary payloads aren't
+    SQL-expressible): deterministic WAV fixtures → Arrow-batched numpy
+    decode → per-row duration/RMS/peak/zero-cross features with poison-row
+    isolation (extras/media.audio_features).  The WAV codec is fully real
+    (RIFF PCM, pure numpy); value invariants asserted in
+    tests/test_media.py."""
+    from chronicrawl_spark.extras.media import audio_features, encode_wav, make_test_audio
+
+    rows = [
+        (f"aud{i:03d}", bytearray(encode_wav(make_test_audio(4000 + 250 * i, 8000, seed=i), 8000)))
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "audio_id string, bytes binary")
+    return audio_features(df)
+
+
+def q_video_frame_sample(spark, sf_dir):
+    """Multimodal video plumbing (rows-only): MJPEG-container fixtures whose
+    frames are real from-scratch baseline JPEGs → Arrow-batched stride-k
+    frame sampling (reads ~1/k of each payload via the length-prefixed
+    layout) → one row per sampled frame with dims + phash
+    (extras/media.video_frame_sample).  decode_video_frames is the
+    documented pyav/ffmpeg swap-in point on a real cluster; pixel/PSNR
+    invariants asserted in tests/test_media.py."""
+    from chronicrawl_spark.extras.media import make_test_video, video_frame_sample
+
+    rows = [
+        (f"vid{i:03d}", bytearray(make_test_video(32, 24, n_frames=6, seed=i)))
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "video_id string, bytes binary")
+    return video_frame_sample(df, every_k=2)
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1466,6 +1594,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_fixture_trace": q_crawl_fixture_trace,
         "image_decode_verify": q_image_decode_verify,
         "image_thumbnails": q_image_thumbnails,
+        "audio_features": q_audio_features,
+        "video_frame_sample": q_video_frame_sample,
+        "aimd_backfill": q_aimd_backfill,
+        "aimd_stream_parity": q_aimd_stream_parity,
         "schedule_next_fire": q_schedule_next_fire,
         "bloom_urlseen": q_bloom_urlseen,
         "bloom_equivalence": q_bloom_equivalence,
@@ -1516,6 +1648,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": SQL_TEXT_QUALITY,
         "token_count": SQL_TOKEN_COUNT,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
+        "aimd_backfill": SQL_AIMD_BACKFILL,
         # crawl_fixture_trace / image_decode_verify / image_thumbnails /
         # schedule_next_fire /
         # bloom_urlseen / bloom_equivalence / j9_record_fetch: intentionally

@@ -39,3 +39,72 @@ def test_streaming_metrics_match_batch(spark, tmp_path):
     assert streamed == batched
     assert sum(v[0] for v in streamed.values()) == 7  # all 7 fixture visits
     assert sum(v[2] for v in streamed.values()) == 1  # the robots-denied one
+
+
+def test_aimd_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState AIMD == the declarative lag-window batch
+    equivalent, with state carried across micro-batches (one wave per
+    trigger via maxFilesPerTrigger=1)."""
+    import os
+
+    from chronicrawl_spark.streaming.aimd_stream import aimd_batch, aimd_stream
+
+    MIN_MS, MAX_MS = 60_000, 3_600_000
+    # 6 locations × 5 waves; unchanged flag varies deterministically; wave
+    # gaps vary so halving/doubling and both clamps are exercised
+    waves_dir = str(tmp_path / "visit_events")
+    os.makedirs(waves_dir)
+    t = T0
+    all_rows = []
+    for wave in range(5):
+        t += [30_000, 90_000, 400_000, 7_200_000, 120_000][wave]
+        rows = [
+            (1000 + loc, 2000 + loc, t + loc, (wave + loc) % 2 == 0)
+            for loc in range(6)
+        ]
+        all_rows += rows
+        df = spark.createDataFrame(
+            rows, "origin_id long, path_id long, date long, unchanged boolean"
+        )
+        df.coalesce(1).write.parquet(f"{waves_dir}/w{wave}")
+    # flatten: the file source lists leaf files; one parquet file per wave
+    files = sorted(
+        f"{waves_dir}/w{w}/{f}"
+        for w in range(5)
+        for f in os.listdir(f"{waves_dir}/w{w}")
+        if f.endswith(".parquet")
+    )
+
+    stream = (
+        spark.readStream.schema("origin_id long, path_id long, date long, unchanged boolean")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{waves_dir}/w*")
+    )
+    q = (
+        aimd_stream(stream, MIN_MS, MAX_MS)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("aimd_stream_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(files) == 5  # 5 micro-batches -> state genuinely crossed triggers
+
+    streamed = {
+        (r["origin_id"], r["path_id"], r["date"]): r["next_visit_aimd"]
+        for r in spark.sql("SELECT * FROM aimd_stream_out").collect()
+    }
+    events = spark.createDataFrame(
+        all_rows, "origin_id long, path_id long, date long, unchanged boolean"
+    )
+    batched = {
+        (r["origin_id"], r["path_id"], r["date"]): r["next_visit_aimd"]
+        for r in aimd_batch(events, MIN_MS, MAX_MS).collect()
+    }
+    assert len(streamed) == 30
+    assert streamed == batched
+    # spot invariants: first visit of each location emits null; a 7.2e6 ms
+    # doubled gap hits the MAX clamp; a 60 s halved gap hits the MIN clamp
+    assert sum(1 for v in streamed.values() if v is None) == 6
