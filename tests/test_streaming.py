@@ -108,3 +108,76 @@ def test_aimd_stream_matches_batch(spark, tmp_path):
     # spot invariants: first visit of each location emits null; a 7.2e6 ms
     # doubled gap hits the MAX clamp; a 60 s halved gap hits the MIN clamp
     assert sum(1 for v in streamed.values() if v is None) == 6
+
+
+def test_aimd_stream_resumes_from_checkpoint(spark, tmp_path):
+    """Stop the AIMD stream after 2 waves, deliver 2 more, restart with the
+    SAME checkpoint: state (each location's last visit) must carry across
+    the restart — outputs equal the batch twin over all 4 waves, and the
+    post-restart rows must NOT be first-visit nulls.  Uses the file sink
+    (the memory sink does not support checkpoint recovery)."""
+    import os
+
+    from chronicrawl_spark.streaming.aimd_stream import aimd_batch, aimd_stream
+
+    MIN_MS, MAX_MS = 60_000, 3_600_000
+    waves_dir, ckpt = str(tmp_path / "events"), str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(waves_dir)
+    t, all_rows = T0, []
+
+    def write_wave(wave, gap):
+        nonlocal t
+        t += gap
+        rows = [(1 + loc, 10 + loc, t + loc, loc % 2 == 0) for loc in range(4)]
+        all_rows.extend(rows)
+        spark.createDataFrame(
+            rows, "origin_id long, path_id long, date long, unchanged boolean"
+        ).coalesce(1).write.parquet(f"{waves_dir}/w{wave}")
+
+    def run_available():
+        stream = (
+            spark.readStream.schema(
+                "origin_id long, path_id long, date long, unchanged boolean"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{waves_dir}/w*")
+        )
+        q = (
+            aimd_stream(stream, MIN_MS, MAX_MS)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_wave(0, 120_000)
+    write_wave(1, 240_000)
+    run_available()  # first incarnation: 2 micro-batches, then stops
+    assert spark.read.parquet(out_dir).count() == 8
+    wave2_start = t + 480_000  # wave 2's base date: the next gap is 480 s
+
+    write_wave(2, 480_000)
+    write_wave(3, 90_000)
+    run_available()  # second incarnation resumes from the same checkpoint
+
+    outs = {
+        (r["origin_id"], r["path_id"], r["date"]): r["next_visit_aimd"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert len(outs) == 16  # no duplicates: waves 0-1 not reprocessed
+    # post-restart rows must not be first-visit nulls — proof the per-key
+    # last-visit state survived the restart
+    post = {k: v for k, v in outs.items() if k[2] >= wave2_start}
+    assert len(post) == 8 and all(v is not None for v in post.values())
+    events = spark.createDataFrame(
+        all_rows, "origin_id long, path_id long, date long, unchanged boolean"
+    )
+    batched = {
+        (r["origin_id"], r["path_id"], r["date"]): r["next_visit_aimd"]
+        for r in aimd_batch(events, MIN_MS, MAX_MS).collect()
+    }
+    assert outs == batched
