@@ -49,6 +49,7 @@ HEADLINE = [
     "text_quality",
     "token_count",
     "doc_fingerprint",
+    "aimd_backfill",
 ]
 
 

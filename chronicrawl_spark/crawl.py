@@ -185,6 +185,21 @@ class CrawlEngine:
         buckets ride the stats agg, per-subset row counts ride the merges'
         bucket-discovery job (``__tag``).
         """
+        import time as _time
+
+        # per-phase wall clock around every driver-blocking action — the
+        # wave's SERIAL floor decomposition (each entry is a synchronous
+        # job/commit boundary; their sum ≈ wave wall time).  Cost-free to
+        # keep always-on; scripts/wave_profile.py aggregates it.
+        phases: dict[str, float] = {}
+        _t0 = _time.monotonic()
+
+        def _mark(name: str) -> None:
+            nonlocal _t0
+            now = _time.monotonic()
+            phases[name] = round(now - _t0, 3)
+            _t0 = now
+
         cfg = self.config
         store = self.store
         origins = store.read("origins")
@@ -205,6 +220,7 @@ class CrawlEngine:
         T = max(self.clock or 0, nv_min)
         self.clock = T
         store.set_clock(T)  # published with this wave's commit (resume)
+        _mark("nv_min")
 
         elig = eligible_origins(origins, T)
         if k_origins is not None:
@@ -224,6 +240,7 @@ class CrawlEngine:
         # instead of re-optimizing the full read→join→window tree each time
         # (driver planning was the dominant serial cost per wave)
         wave = wave.localCheckpoint(eager=True)
+        _mark("wave_select")
         stats = (
             wave.agg(
                 F.count("*").alias("n"),
@@ -248,6 +265,7 @@ class CrawlEngine:
         n_wave, n_hosts = stats["n"], stats["hosts"]
         wave_buckets = stats["bks"]
         wave_origin_ids = stats["oids"]
+        _mark("wave_stats")
 
         # park eligible origins with no due locations (Crawl.java:123-126) —
         # an anti-join against the (checkpointed, tiny) wave's hosts; the
@@ -272,6 +290,7 @@ class CrawlEngine:
         # parallelism before checkpointing or every downstream write runs
         # 4× tiny tasks / output files
         exch = exch.coalesce(self.spark.sparkContext.defaultParallelism).localCheckpoint(eager=True)
+        _mark("exchange")
 
         n_fetched = n_wave  # one visit row per wave row by construction
 
@@ -296,10 +315,14 @@ class CrawlEngine:
         # headroom, a ThreadPoolExecutor around these four calls is the
         # one-line change.
         self._append_visits_and_warc(exch, T)
+        _mark("visits_warc_append")
         ost = store.merge_mixed("origins", o_delta, None)
+        _mark("origins_merge")
         if sm_rows is not None:
             self._merge("sitemap_entries", sm_rows, "upsert")
+            _mark("sitemap_merge")
         fst = store.merge_mixed("frontier", frontier_updates, frontier_new)
+        _mark("frontier_merge")
         self._lineage.append(("origins", "upsert", ost["buckets"]))
         self._lineage.append(("frontier", "mixed", fst["buckets"]))
         n_parked = ost["rows_by_tag"].get("parked", 0)
@@ -307,6 +330,7 @@ class CrawlEngine:
         self._release_discovery_caches()
 
         self._append_metrics(exch, T)
+        _mark("metrics_append")
 
         # publish the updated URL-seen planes with this wave's commit
         # (restart/resume then skips the full-frontier bloom rebuild)
@@ -319,7 +343,11 @@ class CrawlEngine:
         # block manager across waves and GC-stall the whole JVM
         exch.unpersist()
         wave.unpersist()
-        return {"wave": w, "ts": T, "fetched": n_fetched, "parked": n_parked, "discovered": n_disc}
+        _mark("bloom_commit")
+        return {
+            "wave": w, "ts": T, "fetched": n_fetched, "parked": n_parked,
+            "discovered": n_disc, "phase_secs": phases,
+        }
 
     def run(self, max_waves: int, **kw) -> list[dict]:
         out = []

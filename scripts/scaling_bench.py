@@ -24,8 +24,13 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-CORES_PER_EXEC = 4
-MEM_PER_EXEC_MB = 5120
+# Executor width is a measurement axis on this shared box: 4-core executors
+# saturate the VM's memory bus at 4N (the canonical curve, comparable across
+# rounds); 2-core executors keep 4N inside the box's headroom and show what
+# the plan does when the hardware still scales.  Non-default widths write
+# their own BENCH/BASELINE.md section instead of replacing the main table.
+CORES_PER_EXEC = int(os.environ.get("SCALE_CORES_PER_EXEC", "4"))
+MEM_PER_EXEC_MB = int(os.environ.get("SCALE_MEM_MB", "5120"))
 
 SEED_CHILD = r"""
 import os, sys, tempfile
@@ -171,13 +176,58 @@ def main():
                             "waves": waves, "per_host_k": k,
                             "frontier_rows": n_origins * locs}}
     print(json.dumps(result, indent=2))
+    if os.environ.get("SCALE_DRY"):  # probe runs: report, don't publish
+        return
     runs_n, runs_4n = runs[lo], runs[hi]
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     # raw result (incl. per-run disk seed/HWM/end — the vacuum-bounded-disk
     # evidence) survives even if stdout is lost to a dead pipe
-    with open(os.path.join(REPO, "BENCH", "scaling_result.json"), "w") as f:
+    suffix = "" if CORES_PER_EXEC == 4 else f"_c{CORES_PER_EXEC}"
+    with open(os.path.join(REPO, "BENCH", f"scaling_result{suffix}.json"), "w") as f:
         json.dump(result, f, indent=2)
+
+    table_rows = chr(10).join(
+        f"| {s} | {best[s]['cores']} | {best[s]['urls']} | {best[s]['secs']} | "
+        f"{best[s]['urls_per_sec']} | {curve[s]} | "
+        f"{best[s].get('disk_seed_mb', '—')}→{best[s].get('disk_hwm_mb', '—')}→{best[s].get('disk_end_mb', '—')} | "
+        f"{[r['urls_per_sec'] for r in runs[s]]} |"
+        for s in sizes
+    )
+    baseline_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    if CORES_PER_EXEC != 4:
+        # non-canonical executor width: replace/insert a dedicated section
+        # inside the appended-sections area, leave the main table alone
+        s0, s1 = "<!-- narrow-exec-curve -->", "<!-- /narrow-exec-curve -->"
+        section = f"""{s0}
+## Narrow-executor curve ({CORES_PER_EXEC} cores/executor)
+
+Same job and pre-seeded {n_origins * locs}-row frontier as the main table,
+but each executor JVM gets {CORES_PER_EXEC} cores — so 4N executors
+({sizes[-1] * CORES_PER_EXEC} cores total) stays INSIDE the box's physical
+headroom instead of saturating its memory bus the way the 4-core-executor
+shape does.  The north_rule criterion is N→4N **executors**; this is the
+shape a real cluster pairing most resembles (each added executor brings
+usable resources rather than slicing a saturated bus thinner):
+
+| executors | total cores | URLs fetched | wall sec | URLs/sec | eff vs {lo} exec | disk seed→HWM→end MB | all runs (URLs/sec) |
+|---|---|---|---|---|---|---|---|
+{table_rows}
+
+**Scaling efficiency (T_{hi}exec/T_{lo}exec)/{hi // lo} = {eff}**
+(best-of-{repeats} per size, sizes interleaved).
+{s1}"""
+        prev = open(baseline_path).read() if os.path.exists(baseline_path) else ""
+        if s0 in prev and s1 in prev:
+            pre, rest = prev.split(s0, 1)
+            _, post = rest.split(s1, 1)
+            new = pre + section + post
+        else:
+            new = prev.rstrip() + "\n\n" + section + "\n"
+        with open(baseline_path, "w") as f:
+            f.write(new)
+        print("wrote BENCH/BASELINE.md (narrow-exec section)")
+        return
     # everything below the marker (growth benches, ceiling probe — written
     # by their own scripts/hands) is preserved across re-runs
     marker = "<!-- appended-sections -->"
@@ -202,7 +252,7 @@ loopback), package shipped to executors as a zip (the spark-submit
 
 | executors | total cores | URLs fetched | wall sec | URLs/sec | eff vs {lo} exec | disk seed→HWM→end MB | all runs (URLs/sec) |
 |---|---|---|---|---|---|---|---|
-{chr(10).join(f"| {s} | {best[s]['cores']} | {best[s]['urls']} | {best[s]['secs']} | {best[s]['urls_per_sec']} | {curve[s]} | {best[s].get('disk_seed_mb', '—')}→{best[s].get('disk_hwm_mb', '—')}→{best[s].get('disk_end_mb', '—')} | {[r['urls_per_sec'] for r in runs[s]]} |" for s in sizes)}
+{table_rows}
 
 Disk columns: state-store bytes at seed, the pre-vacuum high-water mark,
 and after the end-of-wave ``vacuum(keep_snapshots=2)`` — snapshot expiry
