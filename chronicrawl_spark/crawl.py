@@ -61,6 +61,16 @@ WAVE_HOST_IDS_CAP = 256
 # to one shuffle-hash semi whose partitioning the J6 window reuses
 BROADCAST_WAVE_KEYS_MAX = 2_000_000
 
+# dimension tables up to this many PHYSICAL bytes (manifest file sizes, no
+# job — StateStore.table_bytes) get an explicit broadcast hint in wave
+# selection.  MoR-resolved reads carry no size stats, so without the hint
+# the static planner sort-merges and AQE's runtime conversion still pays
+# the big side's shuffle map stage — measured 2× on wave_select at 16
+# cores.  128 MB of parquet is conservatively inside the executor/driver
+# broadcast budget; a 10^8-host origins table or URL-keyed sitemap_entries
+# blows past it and takes the hint-free SMJ path.
+BROADCAST_DIM_BYTES_MAX = 128 * 1024 * 1024
+
 
 @dataclass
 class CrawlConfig:
@@ -232,7 +242,11 @@ class CrawlEngine:
             elig = elig.join(F.broadcast(picked), "origin_id", "left_semi")
 
         se = store.read("sitemap_entries")
-        wave = select_wave(frontier, elig, se, T, k=per_host_k, salt=salt)
+        wave = select_wave(
+            frontier, elig, se, T, k=per_host_k, salt=salt,
+            broadcast_origins=store.table_bytes("origins") <= BROADCAST_DIM_BYTES_MAX,
+            broadcast_sitemap=store.table_bytes("sitemap_entries") <= BROADCAST_DIM_BYTES_MAX,
+        )
         # origin carry-cols (incl. o_discovered) ride select_wave's
         # post-top-k join — no extra origins join/broadcast here
         # localCheckpoint (not persist): truncates the logical plan so the

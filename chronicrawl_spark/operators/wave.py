@@ -92,6 +92,8 @@ def select_wave(
     wave_ts: int,
     k: int = 1,
     salt: int | None = None,
+    broadcast_origins: bool = True,
+    broadcast_sitemap: bool = True,
 ) -> DataFrame:
     """Full wave selection: F2 due filter ⨝ eligible origins ⨝ sitemap
     priority (J2) → W2 top-k per host.
@@ -117,16 +119,24 @@ def select_wave(
     - Origin carry-cols (origin string, robots blob, delay, policy,
       discovered) join onto the ≤ k·hosts selected wave AFTER top-k, so a
       host's robots blob moves once per selected host, not once per due row.
-    - No broadcast hints: at sandbox scale the static planner broadcasts
-      from parquet size stats; at 10^8 hosts neither side fits a broadcast
-      and AQE picks shuffle strategies — an unconditional hint would OOM
-      the driver there.
+    - SIZE-GATED broadcast hints (``broadcast_origins`` /
+      ``broadcast_sitemap``, decided by the caller from manifest file
+      bytes — ``StateStore.table_bytes``, the Iceberg
+      snapshot-manifest-size analog): when the dim side is known-small the
+      hint is planted explicitly, because letting AQE convert at runtime
+      still MATERIALIZES the big side's shuffle map stage first — measured
+      2× on wave_select at 16 cores (MoR-resolved reads carry no size
+      stats, so the static planner never broadcasts them).  Past the gate
+      no hint is planted: at 10^8 hosts (or a URL-keyed sitemap_entries)
+      neither side fits a driver/executor broadcast budget and SMJ + AQE
+      skew handling take over.
     """
     due = frontier.filter(F.col("next_visit") <= F.lit(wave_ts))
-    due = due.join(origins_eligible.select("origin_id"), "origin_id", "left_semi")
+    oids = origins_eligible.select("origin_id")
+    due = due.join(F.broadcast(oids) if broadcast_origins else oids, "origin_id", "left_semi")
     # J2 ranking hint + C11 revisit-cascade field (Database.java:345-346)
     se = sitemap_entries.select("origin_id", "path_id", "priority", "changefreq")
-    due = due.join(se, ["origin_id", "path_id"], "left")
+    due = due.join(F.broadcast(se) if broadcast_sitemap else se, ["origin_id", "path_id"], "left")
     wave = per_host_top_k(due, k=k, salt=salt)
     orig = origins_eligible.select(
         "origin_id",
@@ -136,5 +146,5 @@ def select_wave(
         "crawl_policy",
         F.col("discovered").alias("o_discovered"),
     )
-    wave = wave.join(orig, "origin_id", "inner")
+    wave = wave.join(F.broadcast(orig) if broadcast_origins else orig, "origin_id", "inner")
     return wave.withColumn("url", F.concat(F.col("origin"), F.col("path")))

@@ -377,6 +377,36 @@ class StateStore:
             (table, "s", self._epoch), lambda: self._read_from(self._staged, table)
         )
 
+    def table_bytes(self, table: str, staged: bool = False) -> int:
+        """Physical bytes of a mutable table's CURRENT base + delta files —
+        driver-side manifest metadata (os file sizes), no Spark job.  The
+        Iceberg analog is summing DataFile.file_size_in_bytes from the
+        snapshot manifest.  Used to size-gate broadcast-join hints: at
+        sandbox scale dimension tables broadcast explicitly (AQE's runtime
+        conversion still materializes the big side's shuffle first —
+        measured 2× on wave selection); past the gate no hint is planted
+        and AQE/SMJ take over."""
+        manifest = self._staged if staged else self.manifest
+        total = 0
+
+        def _du(path: str) -> int:
+            n = 0
+            for dirpath, _dirs, files in os.walk(path):
+                for f in files:
+                    try:
+                        n += os.path.getsize(os.path.join(dirpath, f))
+                    except OSError:
+                        pass
+            return n
+
+        bmap = manifest.get("mutable", {}).get(table, {})
+        for b, v in bmap.items():
+            total += _du(os.path.join(self.root, table, f"v{v}", f"bucket={b}"))
+        dmap = manifest.get("mutable_deltas", {}).get(table, {})
+        for v in {v for chain in dmap.values() for v in chain}:
+            total += _du(os.path.join(self.root, table, f"d{v}"))
+        return total
+
     def set_clock(self, ms: int) -> None:
         """Stage the engine's virtual clock; published with the wave commit
         so snapshot resume restores it turnkey (the reference's clock is

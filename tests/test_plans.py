@@ -7,6 +7,8 @@ viable at 100 TB must not silently degrade.
 - the W2 window costs exactly one shuffle
 """
 
+import pyspark.sql.functions as F
+
 import __spark_entry__ as em
 from chronicrawl_spark.plans.inspect import (
     count_broadcast_joins,
@@ -109,6 +111,17 @@ def test_wave_selection_plan(spark, tmp_path):
     origins, frontier = synthetic_frontier(spark, 50, 40, 1_600_000_000_000)
     store.merge("origins", origins, "upsert")
     store.merge("frontier", frontier, "upsert")
+    # non-empty sitemap_entries: an empty one constant-folds the J2 join
+    # away entirely (zero-size relation), hiding its broadcast from the plan
+    se_row = frontier.limit(1).select(
+        "origin_id", "path_id",
+        F.col("origin_id").alias("sitemap_origin_id"),
+        F.col("path_id").alias("sitemap_path_id"),
+        F.lit("daily").alias("changefreq"),
+        F.lit(0.8).cast("float").alias("priority"),
+        F.lit(None).cast("string").alias("lastmod"),
+    )
+    store.merge("sitemap_entries", se_row, "upsert")
     store.commit(0)
     wave = select_wave(
         store.read("frontier"),
@@ -120,7 +133,11 @@ def test_wave_selection_plan(spark, tmp_path):
     plan = formatted_plan(wave)
     pf = " ".join(pushed_filters(plan))
     assert "LessThanOrEqual(next_visit" in pf  # F2 reaches the frontier scan
-    assert count_broadcast_joins(plan) >= 2  # origin-id semi + sitemap_entries
+    # size-gated hints planted: origin-id semi, sitemap_entries, and the
+    # post-top-k carry-col join must ALL be broadcast (MoR reads carry no
+    # size stats — without hints the static planner sort-merges and the
+    # due scan shuffles twice)
+    assert count_broadcast_joins(plan) >= 3
     assert count_sortmerge_joins(plan) == 0
     assert count_exchanges(plan) == 1  # the W2 window hash partition only
     # the ranking windows must see ONLY narrow columns: no robots blob (or
