@@ -1458,49 +1458,55 @@ def q_aimd_stream_parity(spark, sf_dir):
     Returns a one-row summary (parity asserted in tests/test_streaming.py
     too)."""
     import os
+    import shutil
 
     from chronicrawl_spark.streaming.aimd_stream import aimd_batch, aimd_stream
 
     MIN_MS, MAX_MS = 60_000, 3_600_000
     tmp = tempfile.mkdtemp(prefix="aimd_stream_")
-    t, all_rows = 1_600_000_000_000, []
-    for wave in range(4):
-        t += [45_000, 300_000, 7_200_000, 95_000][wave]
-        rows = [(100 + loc, 200 + loc, t + loc, (wave + loc) % 2 == 0) for loc in range(5)]
-        all_rows += rows
-        spark.createDataFrame(
-            rows, "origin_id long, path_id long, date long, unchanged boolean"
-        ).coalesce(1).write.parquet(f"{tmp}/events/w{wave}")
-    stream = (
-        spark.readStream.schema("origin_id long, path_id long, date long, unchanged boolean")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{tmp}/events/w*")
-    )
-    q = (
-        aimd_stream(stream, MIN_MS, MAX_MS)
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName("aimd_parity_out")
-        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    streamed = {
-        (r["origin_id"], r["path_id"], r["date"]): r["next_visit_aimd"]
-        for r in spark.sql("SELECT * FROM aimd_parity_out").collect()
-    }
-    events = spark.createDataFrame(
-        all_rows, "origin_id long, path_id long, date long, unchanged boolean"
-    )
-    batched = {
-        (r["origin_id"], r["path_id"], r["date"]): r["next_visit_aimd"]
-        for r in aimd_batch(events, MIN_MS, MAX_MS).collect()
-    }
-    return spark.createDataFrame(
-        [(len(streamed), len(batched), streamed == batched)],
-        "n_streamed long, n_batch long, parity boolean",
-    )
+    try:
+        t, all_rows = 1_600_000_000_000, []
+        for wave in range(4):
+            t += [45_000, 300_000, 7_200_000, 95_000][wave]
+            rows = [(100 + loc, 200 + loc, t + loc, (wave + loc) % 2 == 0) for loc in range(5)]
+            all_rows += rows
+            spark.createDataFrame(
+                rows, "origin_id long, path_id long, date long, unchanged boolean"
+            ).coalesce(1).write.parquet(f"{tmp}/events/w{wave}")
+        stream = (
+            spark.readStream.schema("origin_id long, path_id long, date long, unchanged boolean")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/events/w*")
+        )
+        q = (
+            aimd_stream(stream, MIN_MS, MAX_MS)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("aimd_parity_out")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        streamed = {
+            (r["origin_id"], r["path_id"], r["date"]): r["next_visit_aimd"]
+            for r in spark.sql("SELECT * FROM aimd_parity_out").collect()
+        }
+        events = spark.createDataFrame(
+            all_rows, "origin_id long, path_id long, date long, unchanged boolean"
+        )
+        batched = {
+            (r["origin_id"], r["path_id"], r["date"]): r["next_visit_aimd"]
+            for r in aimd_batch(events, MIN_MS, MAX_MS).collect()
+        }
+        return spark.createDataFrame(
+            [(len(streamed), len(batched), streamed == batched)],
+            "n_streamed long, n_batch long, parity boolean",
+        )
+    finally:
+        # the parquet waves + streaming checkpoint are fully consumed by the
+        # collects above — don't leak a tmpdir per benchmark invocation
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def q_audio_features(spark, sf_dir):

@@ -24,7 +24,14 @@ Scale notes:
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, functions as F
+
+
+class ComponentsNotConverged(RuntimeError):
+    """Raised (strict mode) when alternating star rounds exhaust
+    ``max_iter`` without reaching an edge-set fixed point."""
 
 
 def _canon(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -117,6 +124,7 @@ def connected_components(
     dst: str = "doc_b",
     max_iter: int = 50,
     local_threshold: int = 200_000,
+    strict: bool = False,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``; component =
     the minimum node id in its connected component.
@@ -125,6 +133,14 @@ def connected_components(
     fast path; larger graphs run alternating large-star/small-star until
     the edge set reaches a fixed point (count + commutative checksum —
     one scalar agg per round).
+
+    Exhausting ``max_iter`` without a fixed point is OBSERVABLE, never a
+    silent fall-through: a ``ComponentsNotConverged`` warning is emitted
+    (or raised, with ``strict=True``) — the returned assignment may then
+    split one true component into several.  Alternating stars converge in
+    O(log n) rounds (Kiveris SoCC'14 Thm. 2), so the default budget of 50
+    covers any graph that fits on disk; a warning in practice means the
+    budget was lowered deliberately.
     """
     edges = _canon(pairs, src, dst).localCheckpoint(eager=True)
     if local_threshold and edges.count() <= local_threshold:
@@ -143,16 +159,28 @@ def connected_components(
         return (row["n"], row["h"])
 
     prev = _probe(edges)
+    converged = prev[0] == 0
     for _ in range(max_iter):
         if prev[0] == 0:
+            converged = True
             break
         nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         cur = _probe(nxt)
         edges.unpersist()
         edges = nxt
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        msg = (
+            f"connected_components: no fixed point after max_iter={max_iter} "
+            f"rounds ({prev[0]} edges still changing) — component ids may be "
+            "split; raise max_iter"
+        )
+        if strict:
+            raise ComponentsNotConverged(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
 
     # converged: every edge is (root, member) with root = component min
     members = edges.select(F.col("v").alias("node"), F.col("u").alias("component"))

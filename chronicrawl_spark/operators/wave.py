@@ -92,8 +92,8 @@ def select_wave(
     wave_ts: int,
     k: int = 1,
     salt: int | None = None,
-    broadcast_origins: bool = True,
-    broadcast_sitemap: bool = True,
+    broadcast_origins: bool = False,
+    broadcast_sitemap: bool = False,
 ) -> DataFrame:
     """Full wave selection: F2 due filter ⨝ eligible origins ⨝ sitemap
     priority (J2) → W2 top-k per host.
@@ -122,7 +122,9 @@ def select_wave(
     - SIZE-GATED broadcast hints (``broadcast_origins`` /
       ``broadcast_sitemap``, decided by the caller from manifest file
       bytes — ``StateStore.table_bytes``, the Iceberg
-      snapshot-manifest-size analog): when the dim side is known-small the
+      snapshot-manifest-size analog; both default FALSE so a caller that
+      hasn't proven the table small never plants an unconditional hint —
+      the driver-OOM-at-10^8-hosts hazard): when the dim side is known-small the
       hint is planted explicitly, because letting AQE convert at runtime
       still MATERIALIZES the big side's shuffle map stage first — measured
       2× on wave_select at 16 cores (MoR-resolved reads carry no size

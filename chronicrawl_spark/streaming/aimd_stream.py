@@ -59,11 +59,17 @@ def aimd_stream(
     def fn(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
         last = state.get[0] if state.exists else None
         out = []
-        for pdf in pdfs:
-            # event-time order within the batch; across batches the
-            # streaming engine delivers triggers in order
-            pdf = pdf.sort_values("date")
-            for date, unchanged in zip(pdf["date"], pdf["unchanged"]):
+        # materialize the whole key-group before sorting: a key whose rows
+        # within one micro-batch span multiple Arrow chunks (>~10k rows per
+        # key per trigger) would otherwise be sorted per-chunk only, and
+        # state updates would run out of event-time order — silently
+        # diverging from aimd_batch.  Group size is the key's rows in ONE
+        # trigger (a wave), so the concat is small and bounded.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            whole = whole.sort_values("date")
+            for date, unchanged in zip(whole["date"], whole["unchanged"]):
                 date = int(date)
                 if last is None:
                     nv = None

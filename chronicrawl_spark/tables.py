@@ -283,6 +283,12 @@ class StateStore:
         # DataFrame always reflects the exact file set it was built from.
         self._epoch = 0
         self._read_memo: dict = {}
+        # physical-size memo for table_bytes: keyed by the exact version
+        # set a size was computed from, so unchanged versions are never
+        # re-walked (true DataFile.file_size_in_bytes manifest analog —
+        # per-wave broadcast gating must not degrade into a full-tree
+        # stat scan as state-store file counts grow)
+        self._size_memo: dict = {}
 
     # ------------------------------------------------------------ manifest
     def _manifest_path(self, wave: int | None = None) -> str:
@@ -399,12 +405,24 @@ class StateStore:
                         pass
             return n
 
+        def _du_memo(key: tuple, path: str) -> int:
+            # data files under a (table, version) dir are immutable once
+            # written (COW versions / append deltas), so a measured size
+            # stays valid for the store's lifetime
+            n = self._size_memo.get(key)
+            if n is None:
+                n = _du(path)
+                self._size_memo[key] = n
+            return n
+
         bmap = manifest.get("mutable", {}).get(table, {})
         for b, v in bmap.items():
-            total += _du(os.path.join(self.root, table, f"v{v}", f"bucket={b}"))
+            total += _du_memo(
+                (table, "v", v, b), os.path.join(self.root, table, f"v{v}", f"bucket={b}")
+            )
         dmap = manifest.get("mutable_deltas", {}).get(table, {})
         for v in {v for chain in dmap.values() for v in chain}:
-            total += _du(os.path.join(self.root, table, f"d{v}"))
+            total += _du_memo((table, "d", v), os.path.join(self.root, table, f"d{v}"))
         return total
 
     def set_clock(self, ms: int) -> None:

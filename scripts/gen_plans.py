@@ -51,6 +51,9 @@ def main():
     wave = select_wave(
         store.read("frontier"), store.read("origins"), store.read("sitemap_entries"),
         wave_ts=1_600_000_000_000, k=2,
+        # fixture dims are known-small; the engine derives these flags from
+        # manifest bytes (StateStore.table_bytes) — defaults are False
+        broadcast_origins=True, broadcast_sitemap=True,
     )
     out.append("engine_select_wave")
     out.append(formatted_plan(wave))

@@ -56,6 +56,22 @@ def test_cc_path_graph_log_rounds(spark):
     assert len(got) == 64
 
 
+def test_cc_max_iter_exhaustion_observable(spark):
+    # a path graph can't reach a fixed point in one star round; the
+    # non-converged exit must SIGNAL (warning by default, raise in strict
+    # mode), never silently return a split assignment
+    import pytest
+
+    from chronicrawl_spark.extras.graph import ComponentsNotConverged
+
+    edges = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    with pytest.warns(RuntimeWarning, match="no fixed point"):
+        connected_components(df, max_iter=1, local_threshold=0).collect()
+    with pytest.raises(ComponentsNotConverged):
+        connected_components(df, max_iter=1, local_threshold=0, strict=True)
+
+
 def test_cc_matches_union_find_random(spark):
     rng = random.Random(42)
     nodes = list(range(200))

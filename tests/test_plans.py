@@ -129,6 +129,10 @@ def test_wave_selection_plan(spark, tmp_path):
         store.read("sitemap_entries"),
         wave_ts=1_600_000_000_000,
         k=2,
+        # explicit: the size gate (manifest bytes) proved these dims small;
+        # select_wave itself defaults to NO hint (safe at 10^8 hosts)
+        broadcast_origins=True,
+        broadcast_sitemap=True,
     )
     plan = formatted_plan(wave)
     pf = " ".join(pushed_filters(plan))
