@@ -92,16 +92,33 @@ class CrawlConfig:
     # 196-198), so parity mode defaults on; costs one tiny limit(1) probe
     # per discovery wave
     check_collisions: bool = True
-    # B-axis: bloom URL-seen prefilter before the J5 anti-join MERGE.
+    # B-axis: URL-seen prefilter before the J5 anti-join MERGE.
     # Definitely-new discoveries skip the exact check entirely; maybe-seen
     # (incl. false positives) fall through to it — results are identical,
     # only the J5 shuffle volume changes (SURVEY §4.2).  Built once from the
     # frontier, maintained incrementally per wave, sharded by
     # pmod(origin_id, bloom_shards) for linear capacity scaling.
-    use_bloom: bool = True
+    use_bloom: bool = True  # legacy name: gates the prefilter of EITHER kind
+    # filter kind (the north_star names "bloom/cuckoo"):
+    #   "bloom"  — OR-idempotent planes, treeAggregate-merged builds, cannot
+    #              delete (a frontier-retire path forces a full rebuild)
+    #   "cuckoo" — 16-bit fingerprints, 4-slot buckets (Fan CoNEXT'14);
+    #              supports in-place DELETE; inserts are NOT idempotent so
+    #              the engine inserts each verified-new key exactly once
+    seen_filter: str = "bloom"
     bloom_bits: int = 1 << 24
     bloom_k: int = 5
-    bloom_shards: int = 4
+    bloom_shards: int = 4  # shard count for either kind
+    # cuckoo sizing: capacity ≈ 0.95 · shards · buckets · 4 slots; planes
+    # memory = shards · buckets · 8 bytes (8 MB at the defaults)
+    cuckoo_buckets: int = 1 << 18
+    # S11 producer: the reference feeds the screenshot cache from every
+    # rendered visit (Exchange.java:198-201).  When on, each wave's fetched
+    # image payloads (magic-byte prefiltered, JVM-side) run the Arrow
+    # resize stage and the (screenshot, thumbnail) rows ride this wave's
+    # commit — zero extra scans: the source is the wave's own exchange.
+    screenshot_thumbnails: bool = False
+    thumbnail_max_dim: int = 16
 
 
 class CrawlEngine:
@@ -131,8 +148,13 @@ class CrawlEngine:
             self._bloom_bits = store.load_bloom(self._bloom_meta())
 
     def _bloom_meta(self) -> dict:
+        """Sizing params of the active URL-seen filter — persisted with the
+        planes so load_bloom rejects planes built under a different kind or
+        geometry (a mismatch falls back to a rebuild, never a wrong probe)."""
         cfg = self.config
-        return {"n_bits": cfg.bloom_bits, "k": cfg.bloom_k, "shards": cfg.bloom_shards}
+        if cfg.seen_filter == "cuckoo":
+            return {"kind": "cuckoo", "n_buckets": cfg.cuckoo_buckets, "shards": cfg.bloom_shards}
+        return {"kind": "bloom", "n_bits": cfg.bloom_bits, "k": cfg.bloom_k, "shards": cfg.bloom_shards}
 
     def _merge(self, table: str, delta, mode: str) -> dict:
         """StateStore.merge + lineage accounting; returns the merge stats
@@ -345,6 +367,26 @@ class CrawlEngine:
 
         self._append_metrics(exch, T)
         _mark("metrics_append")
+
+        if cfg.screenshot_thumbnails:
+            # inline S11 producer: this wave's image responses → thumbnails
+            # → screenshot cache, published with the same commit.  Reads the
+            # (checkpointed) exchange, not the warc table — no archive scan.
+            from .screenshots import add_screenshots, image_response_thumbnails
+
+            img_src = exch.filter(F.col("status") > 0).select(
+                "origin_id",
+                "path_id",
+                F.lit(T).alias("date"),
+                F.lit("response").alias("record_type"),
+                F.col("body").alias("payload"),
+            )
+            add_screenshots(
+                self.store,
+                image_response_thumbnails(img_src, cfg.thumbnail_max_dim),
+                self.store.committed_wave + 1,
+            )
+            _mark("screenshots_append")
 
         # publish the updated URL-seen planes with this wave's commit
         # (restart/resume then skips the full-frontier bloom rebuild)
@@ -896,7 +938,15 @@ class CrawlEngine:
         all_new = frontier_new.unionByName(robots_locs).persist()
         self._disc_caches.append(all_new)
         if cfg.use_bloom:
+            from .operators.cuckoo import (
+                build_cuckoo_sharded,
+                insert_collected,
+                insert_sharded,
+                split_by_cuckoo,
+            )
             from .operators.seen import build_bloom_sharded, or_in_collected, split_by_bloom
+
+            kind = cfg.seen_filter
 
             def _keyed(df):
                 return df.select(
@@ -906,10 +956,10 @@ class CrawlEngine:
 
             # URL-seen is a key-presence question: base∪delta keys without
             # the MoR newest-wins resolve (duplicates are harmless to a
-            # bloom build and to the joins below).  path rides along so the
+            # filter build and to the joins below).  path rides along so the
             # collision check folds into the SAME verify join — a key
             # collision (same ids, different path) can only involve a row
-            # the bloom flags maybe-seen, so no second frontier scan needed.
+            # the filter flags maybe-seen, so no second frontier scan needed.
             cur = self.store.read_keys(
                 "frontier", ["origin_id", "path_id", "path"], staged=True
             ).select("origin_id", "path_id", F.col("path").alias("__p"))
@@ -917,25 +967,39 @@ class CrawlEngine:
                 # one-time build over the whole frontier (engine start /
                 # snapshot resume); afterwards the filter is maintained
                 # incrementally — no per-wave full-frontier scan
-                self._bloom_bits = build_bloom_sharded(
-                    _keyed(cur), "key", "shard", cfg.bloom_shards, cfg.bloom_bits, cfg.bloom_k
+                if kind == "cuckoo":
+                    self._bloom_bits = build_cuckoo_sharded(
+                        _keyed(cur), "key", "shard", cfg.bloom_shards, cfg.cuckoo_buckets
+                    )
+                else:
+                    self._bloom_bits = build_bloom_sharded(
+                        _keyed(cur), "key", "shard", cfg.bloom_shards, cfg.bloom_bits, cfg.bloom_k
+                    )
+            if kind == "cuckoo":
+                definite_new, maybe_seen = split_by_cuckoo(
+                    self.spark, all_new, self._bloom_bits
                 )
-            definite_new, maybe_seen = split_by_bloom(
-                self.spark, all_new, self._bloom_bits, cfg.bloom_bits, cfg.bloom_k
-            )
-            # OR-in this wave's candidate keys (a superset of the rows the
-            # MERGE inserts — supersets are safe: blooms only forbid false
-            # negatives).  kinds["loc"] bounds the delta: small → one
-            # driver-side collect; big → distributed treeAggregate.
-            if kinds.get("loc", 0) <= 100_000:
-                self._bloom_bits = or_in_collected(
-                    self._bloom_bits, _keyed(all_new).collect(), cfg.bloom_bits, cfg.bloom_k
-                )
+                # cuckoo inserts happen AFTER verification (below): inserts
+                # consume slots, so each key must enter exactly once — the
+                # verified-new set, not the rediscovery superset
             else:
-                delta_bits = build_bloom_sharded(
-                    _keyed(all_new), "key", "shard", cfg.bloom_shards, cfg.bloom_bits, cfg.bloom_k
+                definite_new, maybe_seen = split_by_bloom(
+                    self.spark, all_new, self._bloom_bits, cfg.bloom_bits, cfg.bloom_k
                 )
-                self._bloom_bits = self._bloom_bits | delta_bits
+                # OR-in this wave's candidate keys (a superset of the rows
+                # the MERGE inserts — supersets are safe: blooms only forbid
+                # false negatives, and OR is idempotent).  kinds["loc"]
+                # bounds the delta: small → one driver-side collect; big →
+                # distributed treeAggregate.
+                if kinds.get("loc", 0) <= 100_000:
+                    self._bloom_bits = or_in_collected(
+                        self._bloom_bits, _keyed(all_new).collect(), cfg.bloom_bits, cfg.bloom_k
+                    )
+                else:
+                    delta_bits = build_bloom_sharded(
+                        _keyed(all_new), "key", "shard", cfg.bloom_shards, cfg.bloom_bits, cfg.bloom_k
+                    )
+                    self._bloom_bits = self._bloom_bits | delta_bits
             # exact check only for the (small) maybe-seen set; FPs drop out
             # here, and the collision check (same ids, different path — ref
             # refuses to proceed, Url.java:30-50 identity) rides the same
@@ -982,6 +1046,25 @@ class CrawlEngine:
                         )
                 verified_new = hit.filter(F.col("__p").isNull()).drop("__p")
             all_new = definite_new.unionByName(verified_new)
+            if kind == "cuckoo":
+                # insert-once maintenance: exactly the keys the frontier
+                # MERGE will insert (verified not-in-frontier, so no key is
+                # ever inserted twice over the crawl's lifetime).  Small
+                # delta → one driver-side collect; big → one task per shard
+                # against the broadcast planes.  Persisted: the insert and
+                # the frontier MERGE both consume this frame, and the
+                # probe+verify chain must not run twice.
+                all_new = all_new.persist()
+                self._disc_caches.append(all_new)
+                if kinds.get("loc", 0) <= 100_000:
+                    self._bloom_bits = insert_collected(
+                        self._bloom_bits, _keyed(all_new).collect(), cfg.cuckoo_buckets
+                    )
+                else:
+                    self._bloom_bits = insert_sharded(
+                        self.spark, self._bloom_bits, _keyed(all_new),
+                        "key", "shard", cfg.cuckoo_buckets,
+                    )
         elif cfg.check_collisions:
             # bloom off: no maybe-seen subset exists — scan the keys view.
             # Inner join with the candidate side broadcast when bounded, so

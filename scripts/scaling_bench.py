@@ -149,28 +149,51 @@ def main():
         print(f"seeding {n_origins * locs} frontier rows → {seed_dir}", file=sys.stderr)
         _run(_params_src(params, seed_dir) + SEED_CHILD, [])
 
-    # executor-count curve (default 1,2,4,8): best-of-R per size, sizes
-    # interleaved so shared-VM drift hits all sizes equally.  The headline
-    # efficiency stays (T_4N/T_N)/4 over the 1→4 pair (round-over-round
-    # comparability); the full curve shows where the box itself saturates.
+    # executor-count curve: R runs per size, SIZES INTERLEAVED (round-robin)
+    # so shared-VM drift hits all sizes equally; a whole-size block would
+    # let one noisy hour bias one size.  R defaults to 5 (r4 lesson: with
+    # R=3 under ±26% spread the published efficiency moved 0.636→0.524 on
+    # pure noise).  Best-of-R is the capability estimator (co-tenant noise
+    # only ever SLOWS a run); the median + spread are published alongside
+    # so a contaminated window is visible instead of silently becoming the
+    # number.  Headline efficiency stays (T_4N/T_N)/4 over the 1→4 pair.
     sizes = [int(s) for s in os.environ.get("SCALE_SIZES", "1,2,4,8").split(",")]
-    repeats = int(os.environ.get("SCALE_REPEATS", "1"))
+    repeats = int(os.environ.get("SCALE_REPEATS", "5"))
     runs: dict[int, list] = {s: [] for s in sizes}
     for _ in range(repeats):
         for s in sizes:
             runs[s].append(json.loads(_run(_params_src(params, seed_dir) + RUN_CHILD, [str(s)])))
+
+    def _median(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
+
     best = {s: max(runs[s], key=lambda r: r["urls_per_sec"]) for s in sizes}
-    lo, hi = sizes[0], sizes[min(2, len(sizes) - 1)]  # the 1→4 pair when present
+    med = {s: round(_median([r["urls_per_sec"] for r in runs[s]]), 2) for s in sizes}
+    spread = {
+        s: round(
+            (max(r["urls_per_sec"] for r in runs[s]) - min(r["urls_per_sec"] for r in runs[s]))
+            / best[s]["urls_per_sec"] * 100, 1,
+        )
+        for s in sizes
+    }
+    hi_candidates = [s for s in sizes if s == sizes[0] * 4]
+    lo, hi = sizes[0], (hi_candidates[0] if hi_candidates else sizes[-1])
     r_n, r_4n = best[lo], best[hi]
     eff = round(r_4n["urls_per_sec"] / r_n["urls_per_sec"] / (hi / lo), 3)
+    eff_median = round(med[hi] / med[lo] / (hi / lo), 3)
     curve = {
         s: round(best[s]["urls_per_sec"] / best[lo]["urls_per_sec"] / (s / lo), 3)
         for s in sizes
     }
     result = {"N": r_n, "4N": r_4n, "scaling_efficiency": eff,
+              "scaling_efficiency_median": eff_median,
               "repeats_best_of": repeats,
               "curve_eff_vs_smallest": curve,
               "best": {s: best[s]["urls_per_sec"] for s in sizes},
+              "median": med,
+              "spread_pct": spread,
               "all_runs": {s: [r["urls_per_sec"] for r in runs[s]] for s in sizes},
               "workload": {"origins": n_origins, "locs_per_origin": locs,
                             "waves": waves, "per_host_k": k,
@@ -189,7 +212,7 @@ def main():
 
     table_rows = chr(10).join(
         f"| {s} | {best[s]['cores']} | {best[s]['urls']} | {best[s]['secs']} | "
-        f"{best[s]['urls_per_sec']} | {curve[s]} | "
+        f"{best[s]['urls_per_sec']} | {med[s]} | {spread[s]}% | {curve[s]} | "
         f"{best[s].get('disk_seed_mb', '—')}→{best[s].get('disk_hwm_mb', '—')}→{best[s].get('disk_end_mb', '—')} | "
         f"{[r['urls_per_sec'] for r in runs[s]]} |"
         for s in sizes
@@ -210,12 +233,13 @@ shape does.  The north_rule criterion is N→4N **executors**; this is the
 shape a real cluster pairing most resembles (each added executor brings
 usable resources rather than slicing a saturated bus thinner):
 
-| executors | total cores | URLs fetched | wall sec | URLs/sec | eff vs {lo} exec | disk seed→HWM→end MB | all runs (URLs/sec) |
-|---|---|---|---|---|---|---|---|
+| executors | total cores | URLs fetched | wall sec | URLs/sec (best) | median | spread | eff vs {lo} exec | disk seed→HWM→end MB | all runs (URLs/sec) |
+|---|---|---|---|---|---|---|---|---|---|
 {table_rows}
 
-**Scaling efficiency (T_{hi}exec/T_{lo}exec)/{hi // lo} = {eff}**
-(best-of-{repeats} per size, sizes interleaved).
+**Scaling efficiency (T_{hi}exec/T_{lo}exec)/{hi // lo} = {eff} best-of-{repeats}
+/ {eff_median} median-of-{repeats}** (sizes interleaved; per-size spread in
+the table — a best/median gap or a wide spread flags co-tenant noise).
 {s1}"""
         prev = open(baseline_path).read() if os.path.exists(baseline_path) else ""
         if s0 in prev and s1 in prev:
@@ -250,8 +274,8 @@ N separate executor JVMs (own heap/GC/Python workers, shuffle over
 loopback), package shipped to executors as a zip (the spark-submit
 --py-files deployment shape).
 
-| executors | total cores | URLs fetched | wall sec | URLs/sec | eff vs {lo} exec | disk seed→HWM→end MB | all runs (URLs/sec) |
-|---|---|---|---|---|---|---|---|
+| executors | total cores | URLs fetched | wall sec | URLs/sec (best) | median | spread | eff vs {lo} exec | disk seed→HWM→end MB | all runs (URLs/sec) |
+|---|---|---|---|---|---|---|---|---|---|
 {table_rows}
 
 Disk columns: state-store bytes at seed, the pre-vacuum high-water mark,
@@ -261,10 +285,12 @@ retention cost and the store's disk footprint stays bounded across
 arbitrarily many waves (orphan delta/version dirs are reclaimed every
 wave).
 
-**Scaling efficiency (T_{hi}exec/T_{lo}exec)/{hi // lo} = {eff}** (north_rule
-target ≥ 0.8).  Best-of-{repeats} per size, sizes interleaved; identical
-runs on this shared VM vary ±25% on the wide config — co-tenant noise only
-ever slows a run, so per-size best is the capability number.  Compare the
+**Scaling efficiency (T_{hi}exec/T_{lo}exec)/{hi // lo} = {eff} best-of-{repeats}
+/ {eff_median} median-of-{repeats}** (north_rule target ≥ 0.8).  Sizes
+interleaved round-robin; identical runs on this shared VM vary ±25% on the
+wide config — co-tenant noise only ever slows a run, so per-size best is
+the capability number, and the published median + spread make a
+contaminated window visible instead of silently becoming the number.  Compare the
 curve against the bare-primitive ceilings in `scripts/hw_ceiling_probe.py`
 (1→4 executor JVMs on this box: shuffle 0.65, bucketed parquet write 0.48)
 — a crawl wave is a shuffle+write blend, so the curve's plateau is the
