@@ -11,8 +11,8 @@ Crawl-semantics operators (W1/W2/J5/J6/J7/A1/A3/A4/W3/W4/W5/U1/C10/C11/C12)
 are expressed over the shared TPC-H-ish tables so DuckDB can verify them
 value-for-value; the full crawl-engine pipeline itself (wave loop, robots,
 sitemap, AIMD state machine) is exercised by the rows-only entries
-(``crawl_fixture_trace``, ``image_decode_verify``, ...) and bit-exactly by
-``tests/test_crawl_parity.py``.
+(``crawl_fixture_trace``, ``image_pipeline``, ``seen_filter_equivalence``,
+...) and bit-exactly by ``tests/test_crawl_parity.py``.
 """
 
 from __future__ import annotations

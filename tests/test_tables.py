@@ -223,3 +223,42 @@ def test_base_files_clustered_on_next_visit(spark, store):
     store.compact("frontier")
     store.commit(1)
     _assert_sorted("frontier")
+
+
+def test_table_bytes_memoized_per_version(spark, store, monkeypatch):
+    """Broadcast size-gating reads physical bytes from a per-(table, version)
+    memo — version dirs are immutable once written, so unchanged versions
+    must not be re-walked on every wave (the r4 advisor finding)."""
+    import chronicrawl_spark.tables as tables_mod
+
+    df = spark.createDataFrame(
+        [_origin_row(i, f"http://h{i}") for i in range(20)],
+        schema=store.read("origins").schema,
+    )
+    store.merge("origins", df, "upsert")
+    store.commit(0)
+    n1 = store.table_bytes("origins")
+    assert n1 > 0
+
+    walked = {"n": 0}
+    real_walk = os.walk
+
+    def counting_walk(*a, **kw):
+        walked["n"] += 1
+        return real_walk(*a, **kw)
+
+    monkeypatch.setattr(tables_mod.os, "walk", counting_walk)
+    # second call on an unchanged manifest: fully memoized, zero walks
+    assert store.table_bytes("origins") == n1
+    assert walked["n"] == 0
+
+    # a new version is measured once, then memoized too
+    upd = spark.createDataFrame([_origin_row(1, "http://h1", nv=42)], df.schema)
+    store.merge("origins", upd, "upsert")
+    store.commit(1)
+    n2 = store.table_bytes("origins")
+    assert n2 > 0
+    after_first = walked["n"]
+    assert after_first > 0
+    assert store.table_bytes("origins") == n2
+    assert walked["n"] == after_first
