@@ -18,6 +18,7 @@ sitemap, AIMD state machine) is exercised by the rows-only entries
 from __future__ import annotations
 
 import os
+import shutil
 import sys
 import tempfile
 from collections.abc import Callable
@@ -1317,19 +1318,23 @@ def q_seen_filter_equivalence(spark, sf_dir):
 
     def crawl(tag: str, **cfg):
         tmp = tempfile.mkdtemp(prefix=f"seeneq_{tag}_")
-        store = StateStore(spark, os.path.join(tmp, "state"), buckets=4)
-        eng = CrawlEngine(
-            spark, store, test_server_site(spark), CrawlConfig(**cfg)
-        )
-        eng.add_seeds(["http://test.example"], now=1_600_000_000_000)
-        eng.run(max_waves=9, k_origins=1, per_host_k=1)
-        frontier = {
-            (r["origin_id"], r["path_id"]) for r in store.read("frontier").collect()
-        }
-        visits = sorted(
-            (r["date"], r["path_id"], r["status"]) for r in store.read("visits").collect()
-        )
-        return frontier, visits
+        try:
+            store = StateStore(spark, os.path.join(tmp, "state"), buckets=4)
+            eng = CrawlEngine(
+                spark, store, test_server_site(spark), CrawlConfig(**cfg)
+            )
+            eng.add_seeds(["http://test.example"], now=1_600_000_000_000)
+            eng.run(max_waves=9, k_origins=1, per_host_k=1)
+            frontier = {
+                (r["origin_id"], r["path_id"]) for r in store.read("frontier").collect()
+            }
+            visits = sorted(
+                (r["date"], r["path_id"], r["status"])
+                for r in store.read("visits").collect()
+            )
+            return frontier, visits
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
 
     f_exact, v_exact = crawl("exact", use_bloom=False)
     f_bloom, v_bloom = crawl("bloom", seen_filter="bloom", bloom_shards=2, bloom_bits=1 << 16)

@@ -273,6 +273,66 @@ def insert_sharded(
     return out
 
 
+def delete_keys(table: np.ndarray, keys: np.ndarray, n_buckets: int) -> int:
+    """Delete ONE stored copy of each distinct key from one shard's table
+    (standard cuckoo-filter contract: only safe for keys actually inserted).
+    Buckets stay packed (last occupied slot swaps into the hole).  Returns
+    the number of keys removed."""
+    keys = np.unique(np.asarray(keys, dtype=np.int64))
+    if not len(keys):
+        return 0
+    fp, i1 = _fp_and_bucket(keys, n_buckets)
+    i2 = _alt_bucket(i1, fp, n_buckets)
+    removed = 0
+    for j in range(len(keys)):
+        f = fp[j]
+        for b in (int(i1[j]), int(i2[j])):
+            row = table[b]
+            hit = np.flatnonzero(row == f)
+            if len(hit):
+                occ = int((row != 0).sum())
+                row[hit[0]] = row[occ - 1]
+                row[occ - 1] = 0
+                removed += 1
+                break
+    return removed
+
+
+def delete_sharded(
+    spark: SparkSession,
+    planes: np.ndarray,
+    df: DataFrame,
+    key_col: str,
+    shard_col: str,
+    n_buckets: int,
+) -> np.ndarray:
+    """Distributed delete for retire-sets too big to collect — the mirror of
+    ``insert_sharded`` and THE capability that justifies cuckoo over bloom
+    (a bloom retire forces a full-frontier rebuild): each shard's retired
+    keys flow to one task, which copies ITS shard's table from the broadcast
+    planes, deletes, and returns the updated table — sound because every
+    shard is owned by exactly one task."""
+    bc = spark.sparkContext.broadcast(planes)
+
+    def upd(pdf: pd.DataFrame) -> pd.DataFrame:
+        sh = int(pdf["shard"].iloc[0])
+        table = bc.value[sh].copy()
+        delete_keys(table, pdf["key"].to_numpy(dtype=np.int64), n_buckets)
+        return pd.DataFrame([(sh, table.tobytes())], columns=["shard", "plane"])
+
+    rows = (
+        _shard_src(df, key_col, shard_col)
+        .groupBy("shard")
+        .applyInPandas(upd, "shard long, plane binary")
+        .collect()
+    )
+    out = planes.copy()
+    for r in rows:
+        out[r["shard"]] = np.frombuffer(r["plane"], dtype=np.uint16).reshape(n_buckets, SLOTS)
+    bc.unpersist()
+    return out
+
+
 def contains_udf(spark: SparkSession, planes: np.ndarray):
     """Arrow-vectorized membership test against broadcast planes; the
     returned UDF takes (key, shard) series — same contract as

@@ -26,13 +26,22 @@ sys.path.insert(0, REPO)
 
 
 def crawl(spark, n_origins, locs, waves, k, shots: bool):
+    now = 1_600_000_000_000
+    tmp = tempfile.mkdtemp(prefix="shotbench_")
+    try:
+        return _crawl_in(spark, tmp, n_origins, locs, waves, k, shots, now)
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _crawl_in(spark, tmp, n_origins, locs, waves, k, shots, now):
     from chronicrawl_spark.crawl import CrawlConfig, CrawlEngine
     from chronicrawl_spark.extras.imaging import encode_bmp, make_test_image
     from chronicrawl_spark.fixtures import synthetic_frontier
     from chronicrawl_spark.tables import StateStore
 
-    now = 1_600_000_000_000
-    tmp = tempfile.mkdtemp(prefix="shotbench_")
     store = StateStore(spark, os.path.join(tmp, "state"), buckets=32)
     origins, frontier = synthetic_frontier(spark, n_origins, locs, now)
     store.merge("origins", origins, "upsert")

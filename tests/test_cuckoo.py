@@ -205,3 +205,39 @@ def test_cuckoo_persisted_across_restart(spark, tmp_path, monkeypatch):
         (r["date"], r["path_id"], r["status"]) for r in store2.read("visits").collect()
     )
     assert resumed_visits == final_visits
+
+
+def test_cuckoo_delete_sharded_equals_collected(spark):
+    """The one-task-per-shard distributed delete (the retire path a bloom
+    filter cannot serve without a full rebuild) must be probe-equivalent to
+    the driver-side collected delete: retired keys gone (mod FP rate),
+    survivors never lose membership, packing preserved per bucket."""
+    from chronicrawl_spark.operators.cuckoo import delete_sharded
+
+    rng = np.random.default_rng(19)
+    n_buckets = 1 << 12
+    keys = rng.choice(2**60, size=10_000, replace=False).astype(np.int64)
+    planes = np.zeros((2, n_buckets, SLOTS), dtype=np.uint16)
+    for s in (0, 1):
+        insert_keys(planes[s], keys[keys % 2 == s], n_buckets)
+    retire = keys[:4_000]
+    keep = keys[4_000:]
+    rows = [(int(k % 2), int(k)) for k in retire]
+    a = planes.copy()
+    delete_collected(a, rows, n_buckets)
+    df = spark.createDataFrame(rows, "shard long, key long")
+    b = delete_sharded(spark, planes.copy(), df, "key", "shard", n_buckets)
+    ksh = (keep % 2).astype(np.int64)
+    assert contains(a, ksh, keep).all() and contains(b, ksh, keep).all(), (
+        "delete broke a surviving key (false negative)"
+    )
+    rsh = (retire % 2).astype(np.int64)
+    assert contains(b, rsh, retire).mean() < 0.005
+    # probe-equivalence on a random set (slot layout may differ; answers not)
+    probe = rng.choice(2**61, size=20_000).astype(np.int64)
+    psh = (probe % 2).astype(np.int64)
+    assert (contains(a, psh, probe) == contains(b, psh, probe)).all()
+    # packed invariant holds on both shards after the distributed delete
+    for s in (0, 1):
+        occ = (b[s] != 0).astype(int)
+        assert (np.diff(occ, axis=1) <= 0).all()
