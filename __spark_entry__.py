@@ -1587,17 +1587,26 @@ FROM (VALUES {values})
 
 
 def q_video_frame_sample(spark, sf_dir):
-    """Multimodal video plumbing (rows-only): MJPEG-container fixtures whose
-    frames are real from-scratch baseline JPEGs → Arrow-batched stride-k
-    frame sampling (reads ~1/k of each payload via the length-prefixed
-    layout) → one row per sampled frame with dims + phash
-    (extras/media.video_frame_sample).  decode_video_frames is the
+    """Multimodal video plumbing: fixtures interleave the MJPG container
+    and real ISO-BMFF MP4 files (from-scratch 14496-12 muxer/demuxer,
+    extras/mp4.py), frames are real from-scratch baseline JPEGs →
+    Arrow-batched stride-k frame sampling (reads ~1/k of each payload:
+    length prefixes on MJPG, random-access stsc/stsz/stco sample-table
+    offsets on MP4) → one row per sampled frame with dims + phash
+    (extras/media.video_frame_sample).  Foreign-codec MP4s are the
     documented pyav/ffmpeg swap-in point on a real cluster; pixel/PSNR
     invariants asserted in tests/test_media.py."""
     from chronicrawl_spark.extras.media import make_test_video, video_frame_sample
 
     rows = [
-        (f"vid{i:03d}", bytearray(make_test_video(32, 24, n_frames=6, seed=i)))
+        (
+            f"vid{i:03d}",
+            bytearray(
+                make_test_video(
+                    32, 24, n_frames=6, seed=i, container="mp4" if i % 2 else "mjpg"
+                )
+            ),
+        )
         for i in range(8)
     ]
     df = spark.createDataFrame(rows, "video_id string, bytes binary")
@@ -1605,8 +1614,8 @@ def q_video_frame_sample(spark, sf_dir):
 
 
 def _sql_video_frame_sample() -> str:
-    """Computable oracle for ``video_frame_sample``: the MJPEG fixtures are
-    closed-form, so the expected sampled frames (idx/dims/phash) are
+    """Computable oracle for ``video_frame_sample``: the MJPG/MP4 fixtures
+    are closed-form, so the expected sampled frames (idx/dims/phash) are
     precomputed with the same from-scratch codecs and registered as a
     DuckDB constant table — all-integer columns, exact by construction."""
     from chronicrawl_spark.extras.media import (
@@ -1618,7 +1627,10 @@ def _sql_video_frame_sample() -> str:
 
     rows = []
     for i in range(8):
-        frames, _fps = decode_video_frames(make_test_video(32, 24, n_frames=6, seed=i), 2, None)
+        vid = make_test_video(
+            32, 24, n_frames=6, seed=i, container="mp4" if i % 2 else "mjpg"
+        )
+        frames, _fps = decode_video_frames(vid, 2, None)
         for idx, px in frames:
             rows.append(
                 f"('vid{i:03d}', {idx}, {px.shape[1]}, {px.shape[0]}, {_signed64(phash64(px))})"

@@ -12,13 +12,16 @@ Python — to both:
   (duration, RMS, peak, zero-crossing rate).  No audio library is needed,
   so unlike images there is nothing to stub: 16-bit and 8-bit PCM, mono or
   multi-channel, with unknown chunks skipped per the spec.
-- **video**: the sandbox has no container/codec library (ffmpeg, pyav), so
-  videos use a documented length-prefixed **MJPEG container** (``MJPG``
-  magic) whose frames are REAL baseline JPEGs from ``imaging.encode_jpeg``
-  / ``decode_jpeg`` — the Spark-side plumbing (schema, Arrow batch shape,
-  frame-sampling stride, per-row error isolation) is real and tested;
-  ``decode_video_frames`` is the single swap-in point for pyav/ffmpeg on a
-  production cluster.
+- **video**: two containers, both decoded from scratch.  Real **ISO-BMFF
+  (MP4)** via ``extras/mp4.py`` — a from-spec (ISO/IEC 14496-12) box
+  walker + stsc/stsz/stco sample-table resolver that random-accesses each
+  sample's byte range and decodes QuickTime-style ``jpeg`` samples with
+  the repo's own T.81 codec (other codecs raise ``NotImplementedError``
+  naming the fourcc; the byte ranges still resolve, so a production
+  pyav/ffmpeg swap-in replaces only the per-sample decode call).  Plus the
+  simpler length-prefixed **MJPEG container** (``MJPG`` magic) kept as the
+  deterministic sandbox fixture format.  ``decode_video_frames``
+  dispatches on magic bytes and is the single entry point either way.
 
 Scale shape: both stages are ``mapInPandas`` over the payload column —
 narrow columns stay JVM-side, payload bytes cross to Python once per Arrow
@@ -163,12 +166,19 @@ def encode_mjpeg(frames: list[np.ndarray], fps: float = 10.0, quality: int = 92)
 def decode_video_frames(
     data: bytes, every_k: int = 1, max_frames: int | None = None
 ) -> tuple[list[tuple[int, np.ndarray]], float]:
-    """Frame-sample an MJPEG payload: decode every ``every_k``-th frame (up
-    to ``max_frames``), SKIPPING the bytes of unsampled frames — the point
-    of the length-prefixed layout is that sampling at stride k reads ~1/k
-    of the payload's JPEG data.  Returns ([(frame_idx, pixels)], fps)."""
+    """Frame-sample a video payload: decode every ``every_k``-th frame (up
+    to ``max_frames``), SKIPPING the bytes of unsampled frames — at stride
+    k only ~1/k of the payload's JPEG data is read (length prefixes here;
+    random-access sample-table offsets on the MP4 path).  Dispatches on
+    magic bytes: ISO-BMFF (``ftyp``) → the from-scratch MP4 demuxer,
+    ``MJPG`` → the length-prefixed path.  Returns ([(frame_idx, pixels)],
+    fps)."""
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        from .mp4 import decode_mp4_frames
+
+        return decode_mp4_frames(data, every_k, max_frames)
     if data[:4] != _MJPG_MAGIC:
-        raise ValueError("not an MJPG container")
+        raise ValueError("not an MJPG or ISO-BMFF container")
     n, fps_m = struct.unpack("<II", data[4:12])
     pos, out = 12, []
     for i in range(n):
@@ -180,10 +190,18 @@ def decode_video_frames(
     return out, fps_m / 1000.0
 
 
-def make_test_video(w: int, h: int, n_frames: int, seed: int = 0, fps: float = 10.0) -> bytes:
+def make_test_video(
+    w: int, h: int, n_frames: int, seed: int = 0, fps: float = 10.0, container: str = "mjpg"
+) -> bytes:
     """Deterministic video fixture: smooth frames whose pattern shifts per
-    frame (seed + frame index), muxed into the MJPEG container."""
+    frame (seed + frame index), muxed into the MJPG container or — with
+    ``container="mp4"`` — into a real ISO-BMFF file via the from-scratch
+    muxer."""
     frames = [make_smooth_image(w, h, seed=seed * 1000 + i) for i in range(n_frames)]
+    if container == "mp4":
+        from .mp4 import encode_mp4_mjpeg
+
+        return encode_mp4_mjpeg(frames, fps=fps)
     return encode_mjpeg(frames, fps=fps)
 
 

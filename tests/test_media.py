@@ -117,3 +117,72 @@ def test_video_frame_sample_stage(spark):
     # distinct frames -> distinct phashes (pattern shifts per frame)
     assert len({r["frame_phash"] for r in by_vid["vid0"]}) == 3
     assert len(by_vid["bad"]) == 1 and by_vid["bad"][0]["error"] is not None
+
+
+# ----------------------------------------------------------- ISO-BMFF (MP4)
+
+def test_mp4_roundtrip_chunking_and_co64():
+    """Mux real JPEGs into ISO-BMFF and demux via the from-spec sample
+    tables: every chunking shape (1/sample-per-chunk, multi-sample chunks
+    with a trailing remainder, 64-bit co64 offsets) must resolve every
+    sample's byte range exactly."""
+    from chronicrawl_spark.extras.mp4 import (
+        decode_mp4_frames,
+        encode_mp4_mjpeg,
+        parse_mp4_samples,
+    )
+
+    frames = [make_smooth_image(48, 32, seed=i) for i in range(7)]
+    for spc, co64 in [(1, False), (4, False), (3, True)]:
+        data = encode_mp4_mjpeg(frames, fps=12.5, samples_per_chunk=spc, use_co64=co64)
+        info = parse_mp4_samples(data)
+        assert (info["codec"], info["width"], info["height"]) == ("jpeg", 48, 32)
+        assert abs(info["fps"] - 12.5) < 1e-9  # stts delta = 90000/12.5 exactly
+        out, fps = decode_mp4_frames(data, every_k=1)
+        assert [i for i, _ in out] == list(range(7))
+        for idx, px in out:
+            assert psnr(px, frames[idx]) >= 40.0  # input_hint lossy invariant
+        out2, _ = decode_mp4_frames(data, every_k=3, max_frames=2)
+        assert [i for i, _ in out2] == [0, 3]
+
+
+def test_mp4_dispatch_matches_mjpg():
+    """decode_video_frames dispatches on magic bytes; the same source
+    frames muxed either way decode to byte-identical pixels (both paths
+    carry the identical T.81 JPEG payloads)."""
+    mp4 = make_test_video(32, 24, 6, seed=2, container="mp4")
+    mjpg = make_test_video(32, 24, 6, seed=2)
+    a, _ = decode_video_frames(mp4, 2, None)
+    b, _ = decode_video_frames(mjpg, 2, None)
+    assert [i for i, _ in a] == [i for i, _ in b] == [0, 2, 4]
+    assert all(np.array_equal(x[1], y[1]) for x, y in zip(a, b))
+
+
+def test_mp4_unknown_codec_names_fourcc():
+    """Foreign-codec sample entries resolve byte ranges but refuse decode,
+    naming the fourcc — the documented production swap-in point."""
+    from chronicrawl_spark.extras.mp4 import decode_mp4_frames, encode_mp4_mjpeg
+
+    data = bytearray(encode_mp4_mjpeg([make_smooth_image(16, 16, seed=0)]))
+    i = bytes(data).find(b"jpeg", bytes(data).find(b"stsd"))
+    data[i : i + 4] = b"avc1"
+    with pytest.raises(NotImplementedError, match="avc1"):
+        decode_mp4_frames(bytes(data))
+
+
+def test_video_stage_mixed_containers(spark):
+    """One binary column, MJPG and MP4 payloads interleaved: the Arrow
+    stage demuxes both and yields identical (idx, dims, phash) rows for
+    identical source frames."""
+    rows = [
+        ("m0", bytearray(make_test_video(24, 16, 5, seed=4))),
+        ("p0", bytearray(make_test_video(24, 16, 5, seed=4, container="mp4"))),
+        ("bad", bytearray(b"\x00" * 16)),
+    ]
+    df = spark.createDataFrame(rows, "video_id string, bytes binary")
+    out = video_frame_sample(df, every_k=2).collect()
+    by_vid = {}
+    for r in out:
+        by_vid.setdefault(r["video_id"], []).append((r["frame_idx"], r["frame_phash"]))
+    assert sorted(by_vid["m0"]) == sorted(by_vid["p0"])
+    assert len(by_vid["bad"]) == 1
