@@ -1100,6 +1100,59 @@ class CrawlEngine:
         self.store.log_lineage(wave_n, rows)
 
     # ---------------------------------------------------------- maintenance
+    def retire_locations(self, keys_df: DataFrame) -> dict:
+        """Retire frontier locations — the maintenance op the cuckoo
+        URL-seen variant exists for (the reference never deletes locations:
+        its seen-set is the location table's insert-if-absent PK,
+        ``Database.java:229-251``; retirement is our scale addition for
+        frontier compaction / record purge at 10^10 rows).
+
+        ``keys_df``: (origin_id, path_id) rows to retire.  Three effects:
+
+        1. bucket-pruned COW delete of the frontier rows
+           (``StateStore.delete_where`` — O(touched buckets));
+        2. ``seen_filter="cuckoo"``: the keys are deleted from the filter
+           planes (collected fast path ≤100k keys, else the distributed
+           per-shard ``delete_sharded``), so a later re-discovery is
+           eligible again at filter level.  Safe per the cuckoo contract —
+           retired keys were inserted; a collision-induced false negative
+           on a surviving key only costs a duplicate insert ATTEMPT, which
+           the frontier's insert-if-absent merge drops;
+        3. ``seen_filter="bloom"``: planes are left untouched.  Bloom
+           cannot delete — the stale bits become a permanent false
+           positive, which is sound (maybe-seen rows go through the exact
+           verify join against the now-smaller frontier and re-enter);
+           only the FP rate degrades over many retire cycles.  That
+           asymmetry is the bloom-vs-cuckoo tradeoff in SURVEY §4.2.
+
+        Staged like every other mutation: the next ``store.commit`` (or
+        the next wave's commit) publishes both the rewritten buckets and —
+        for cuckoo — the updated planes.  Returns the delete stats dict.
+        """
+        cfg = self.config
+        keys_df = keys_df.select("origin_id", "path_id")
+        stats = self.store.delete_where("frontier", keys_df)
+        if (
+            cfg.use_bloom
+            and cfg.seen_filter == "cuckoo"
+            and self._bloom_bits is not None
+            and stats["rows_deleted"]
+        ):
+            from .operators.cuckoo import delete_collected, delete_sharded
+
+            keyed = keys_df.select(
+                F.pmod(F.col("origin_id"), F.lit(cfg.bloom_shards)).alias("shard"),
+                F.xxhash64("origin_id", "path_id").alias("key"),
+            ).distinct()
+            if stats["rows_deleted"] <= 100_000:
+                delete_collected(self._bloom_bits, keyed.collect(), cfg.cuckoo_buckets)
+            else:
+                self._bloom_bits = delete_sharded(
+                    self.spark, self._bloom_bits, keyed, "key", "shard", cfg.cuckoo_buckets
+                )
+            self.store.save_bloom(self._bloom_bits, self._bloom_meta())
+        return stats
+
     def reapply_rules_to_origin(self, origin_id: int) -> int:
         """W5 — ``Rule.reapplyRulesToOrigin`` (``Rule.java:48-67``): for every
         visited location of the origin, recompute next_visit from the best

@@ -945,6 +945,87 @@ class StateStore:
         """Full-table upsert (seeding / small dimension tables)."""
         return self.merge(table, df, mode="upsert")["buckets"]
 
+    def delete_where(self, table: str, keys_df: DataFrame) -> dict:
+        """Bucket-pruned copy-on-write DELETE (Iceberg COW-delete analog).
+
+        Deletes are deliberately NOT merge-on-read tombstones: the cheap
+        per-wave URL-seen path (``read_keys`` feeding semi-/anti-joins)
+        is sound precisely because "merges never delete a key" — a
+        tombstone delta would force newest-wins resolution onto every
+        key-presence read.  Instead, deletion is an explicit maintenance
+        op (frontier retirement, record purge) that rewrites ONLY the
+        buckets containing delete keys: resolve those buckets' current
+        state (base + delta chains, newest-wins), anti-join the keys,
+        write a fresh base version, clear the buckets' chains.  Cost is
+        O(touched buckets), never O(table); a bucket left empty drops out
+        of the manifest entirely.  Returns ``{"buckets", "rows_deleted"}``.
+        """
+        schema, keys = MUTABLE_TABLES[table]
+        cols = [f.name for f in schema.fields]
+        kdf = keys_df.select(*keys).distinct()
+        counts = (
+            kdf.groupBy(self._bucket_col(kdf, table).alias("__b")).count().collect()
+        )
+        targets = sorted((str(int(r["__b"])) for r in counts), key=int)
+        n_keys = sum(r["count"] for r in counts)
+        if not targets:
+            return {"buckets": 0, "rows_deleted": 0}
+        with self._mlock:
+            bmap: dict = self._staged["mutable"][table]
+            dmap: dict = self._staged.setdefault("mutable_deltas", {}).setdefault(table, {})
+            version = self._staged["next_version"][table]
+            self._staged["next_version"][table] = version + 1
+        dirty = [b for b in targets if dmap.get(b)]
+        base_bmap = {b: bmap[b] for b in targets if b in bmap}
+        parts = []
+        if base_bmap:
+            parts.append(
+                self._base_scan(table, base_bmap, schema)
+                .withColumn("__kind", F.lit(1))
+                .withColumn("__ver", F.lit(0))
+            )
+        if dirty:
+            parts.append(self._delta_scan(self._staged, table, dirty))
+        if not parts:
+            return {"buckets": 0, "rows_deleted": 0}
+        resolved = self._resolve_newest_wins(
+            functools.reduce(DataFrame.unionByName, parts), keys, cols
+        )
+        # key sets small enough to broadcast (known from the counts job)
+        # get the hint; bigger retire sets shuffle — stat-less MoR scans
+        # otherwise demote to SMJ on the WHOLE touched-bucket set anyway
+        kside = F.broadcast(kdf) if n_keys <= 1_000_000 else kdf
+        removed = resolved.join(kside, keys, "left_semi").count()
+        kept = resolved.join(kside, keys, "left_anti")
+        out = kept.withColumn("bucket", self._bucket_col(kept, table))
+        target = os.path.join(self.root, table, f"v{version}")
+        (
+            out.repartition(max(1, len(targets)), "bucket")
+            .sortWithinPartitions("bucket", *MUTABLE_CLUSTER[table])
+            .write.mode("overwrite")
+            .option("parquet.block.size", BASE_ROWGROUP_BYTES)
+            .partitionBy("bucket")
+            .parquet(target)
+        )
+        present = (
+            {d for d in os.listdir(target) if d.startswith("bucket=")}
+            if os.path.isdir(target)
+            else set()
+        )
+        with self._mlock:
+            for b in targets:
+                if f"bucket={b}" in present:
+                    bmap[b] = version
+                else:  # every row of the bucket deleted → bucket is gone
+                    bmap.pop(b, None)
+                dmap[b] = []
+            live = {v for ch in dmap.values() for v in ch}
+            drows = self._staged.setdefault("delta_rows", {}).setdefault(table, {})
+            for v in [v for v in drows if int(v) not in live]:
+                del drows[v]
+        self._bump_epoch()
+        return {"buckets": len(targets), "rows_deleted": removed}
+
     # ------------------------------------------------------------ vacuum
     def vacuum(self, keep_snapshots: int = 2) -> dict:
         """Delete data files unreferenced by the live/staged manifest and
