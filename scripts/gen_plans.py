@@ -71,6 +71,26 @@ def main():
             store.read("frontier").filter(F.col("next_visit") <= F.lit(1_600_000_000_000))
         )
     )
+
+    # retirement (delete_where) interior: the kept-rows plan — base scan
+    # lists ONLY the touched bucket's files (bucket pruning by explicit
+    # path list), keys broadcast, LeftAnti — the O(touched buckets) shape
+    # the retire bench measures (BENCH/BASELINE.md retirement section)
+    from chronicrawl_spark.tables import MUTABLE_TABLES
+
+    fschema, fkeys = MUTABLE_TABLES["frontier"]
+    one_origin = store.read("frontier").limit(1).collect()[0]
+    keys_df = spark.createDataFrame(
+        [(one_origin["origin_id"], one_origin["path_id"])], "origin_id long, path_id long"
+    )
+    touched = str(int(one_origin["origin_id"]) % store.buckets)
+    bmap = store._staged["mutable"]["frontier"]
+    kept = (
+        store._base_scan("frontier", {touched: bmap[touched]}, fschema)
+        .join(F.broadcast(keys_df), fkeys, "left_anti")
+    )
+    out.append("delete_where_kept (retirement: touched-bucket-only scan + broadcast anti-join)")
+    out.append(formatted_plan(kept))
     with open(os.path.join(REPO, "docs", "PLANS.txt"), "w") as f:
         f.write("\n".join(out))
     print("wrote docs/PLANS.txt")
