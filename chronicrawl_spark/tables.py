@@ -269,6 +269,11 @@ class StateStore:
         )
         os.makedirs(root, exist_ok=True)
         self.manifest = self._load_manifest()
+        # reopening an existing store: the manifest's bucket count wins over
+        # the constructor arg (Iceberg analog: partition spec lives in table
+        # metadata, not in the reader) — a mismatched arg would silently
+        # mis-bucket every merge/prune against the on-disk layout
+        self.buckets = int(self.manifest.get("buckets", self.buckets))
         # staged (uncommitted) manifest mutations for the in-flight wave
         self._staged = json.loads(json.dumps(self.manifest))
         self.last_merge_stats: dict = {}
@@ -652,6 +657,8 @@ class StateStore:
         if not waves:
             return self._empty(schema)
         bmap = manifest.get("append_buckets", {}).get(table, {})
+        bat = manifest.get("append_bucket_at", {}).get(table, {})
+        cur = int(manifest.get("buckets", self.buckets))
         want = None if buckets is None else {int(b) for b in buckets}
         paths = []
         for w in waves:
@@ -659,8 +666,14 @@ class StateStore:
             if bl is None:  # legacy unbucketed wave dir — cannot prune
                 paths.append(os.path.join(self.root, table, f"wave={w}"))
                 continue
+            # want-sets are pmod(origin_id, CURRENT buckets); a wave written
+            # under an older (smaller, dividing) count B_w maps exactly:
+            # origin % B_w == (origin % cur) % B_w.  Waves with no recorded
+            # count predate any rebucket and carry the current count.
+            bw = int(bat.get(str(w), cur))
+            w_want = want if (want is None or bw == cur) else {v % bw for v in want}
             for b in bl:
-                if want is None or int(b) in want:
+                if w_want is None or int(b) in w_want:
                     paths.append(os.path.join(self.root, table, f"wave={w}", f"bucket={b}"))
         if not paths:
             return self._empty(schema)
@@ -719,6 +732,13 @@ class StateStore:
             )
             with self._mlock:
                 self._staged.setdefault("append_buckets", {}).setdefault(table, {})[str(wave)] = written
+                # record the bucket count this wave was written under: after
+                # a rebucket, pruned reads translate current-count want-sets
+                # to each wave's historical count (exact because rebucket
+                # only multiplies the count)
+                self._staged.setdefault("append_bucket_at", {}).setdefault(table, {})[
+                    str(wave)
+                ] = self.buckets
         else:
             # cap output tasks/files: upstream unions multiply partitions
             if out.rdd.getNumPartitions() > par:
@@ -1025,6 +1045,76 @@ class StateStore:
                 del drows[v]
         self._bump_epoch()
         return {"buckets": len(targets), "rows_deleted": removed}
+
+    def rebucket(self, new_buckets: int) -> dict:
+        """Grow the bucket count (Iceberg partition-spec-evolution analog).
+
+        A store sized for 10^7 frontier rows does not survive 10^10: per-
+        bucket files blow past row-group skipping and every touched-bucket
+        rewrite drags the whole keyspace.  ``rebucket`` multiplies the
+        count: each MUTABLE table's current state (base + delta chains,
+        newest-wins) is rewritten once under the new bucketing and its
+        chains reset — O(current state), the explicit maintenance-op cost —
+        while append-table HISTORY (visits/warc at 10^10 rows — exactly
+        what must never be rewritten) keeps its old layout; pruned reads
+        translate current-count want-sets per wave via the recorded
+        ``append_bucket_at`` (exact because the new count is a MULTIPLE of
+        the old: ``origin % B_old == (origin % B_new) % B_old`` — hence the
+        multiple-only rule).  The reference has no analog (H2 re-indexes
+        internally, ``schema.sql:131``); this is the scale-side bucket-
+        evolution path.  Staged like every mutation; the next ``commit``
+        publishes it and a reopen adopts the new count from the manifest.
+        """
+        new_buckets = int(new_buckets)
+        if new_buckets <= self.buckets or new_buckets % self.buckets != 0:
+            raise ValueError(
+                f"rebucket: new count {new_buckets} must be a larger multiple of "
+                f"{self.buckets} (keeps historical append-prune translation exact)"
+            )
+        old = self.buckets
+        with self._mlock:
+            # backfill per-wave counts for append history written before this
+            # feature existed: all of it is under the old count
+            for table, waves in self._staged.get("append_buckets", {}).items():
+                bat = self._staged.setdefault("append_bucket_at", {}).setdefault(table, {})
+                for w in waves:
+                    bat.setdefault(str(w), old)
+        stats: dict = {}
+        for table in MUTABLE_TABLES:
+            schema, _keys = MUTABLE_TABLES[table]
+            bmap = self._staged["mutable"][table]
+            dmap = self._staged.get("mutable_deltas", {}).get(table, {})
+            if not bmap and not any(dmap.values()):
+                continue
+            df = self.read_staged(table)
+            with self._mlock:
+                version = self._staged["next_version"][table]
+                self._staged["next_version"][table] = version + 1
+            out = df.withColumn(
+                "bucket", F.pmod(F.col("origin_id"), F.lit(new_buckets)).cast("int")
+            )
+            target = os.path.join(self.root, table, f"v{version}")
+            (
+                out.repartition(new_buckets, "bucket")
+                .sortWithinPartitions("bucket", *MUTABLE_CLUSTER[table])
+                .write.mode("overwrite")
+                .option("parquet.block.size", BASE_ROWGROUP_BYTES)
+                .partitionBy("bucket")
+                .parquet(target)
+            )
+            present = {
+                d.split("=", 1)[1] for d in os.listdir(target) if d.startswith("bucket=")
+            }
+            with self._mlock:
+                self._staged["mutable"][table] = {b: version for b in present}
+                self._staged.setdefault("mutable_deltas", {})[table] = {}
+                self._staged.setdefault("delta_rows", {})[table] = {}
+            stats[table] = len(present)
+        with self._mlock:
+            self._staged["buckets"] = new_buckets
+        self.buckets = new_buckets
+        self._bump_epoch()
+        return stats
 
     # ------------------------------------------------------------ vacuum
     def vacuum(self, keep_snapshots: int = 2) -> dict:
