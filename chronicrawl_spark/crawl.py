@@ -119,6 +119,12 @@ class CrawlConfig:
     # commit — zero extra scans: the source is the wave's own exchange.
     screenshot_thumbnails: bool = False
     thumbnail_max_dim: int = 16
+    # L21 auto-evolution: when >0 and the frontier's average per-bucket
+    # physical bytes (manifest metadata, no Spark job) exceed this at the
+    # start of a wave, the store doubles its bucket count before selection;
+    # the rewrite rides this wave's commit.  Off by default — 0 keeps the
+    # layout fixed and `StateStore.rebucket` stays a manual maintenance op.
+    auto_rebucket_bytes: int = 0
 
 
 class CrawlEngine:
@@ -234,6 +240,16 @@ class CrawlEngine:
 
         cfg = self.config
         store = self.store
+        if (
+            cfg.auto_rebucket_bytes
+            and store.table_bytes("frontier", staged=True) / store.buckets
+            > cfg.auto_rebucket_bytes
+        ):
+            # grow the layout BEFORE selection so the whole wave (reads,
+            # merges, bucket-pruned history lookups) runs under one count;
+            # rebucket stages the rewrite and this wave's commit publishes it
+            store.rebucket(store.buckets * 2)
+            _mark("rebucket")
         origins = store.read("origins")
         frontier = store.read("frontier")
 

@@ -140,3 +140,32 @@ def test_rebucket_mid_crawl_parity(spark, tmp_path):
     plain = crawl(str(tmp_path / "a"), rebucket_after=False)
     evolved = crawl(str(tmp_path / "b"), rebucket_after=True)
     assert plain == evolved and len(plain) > 0
+
+
+def test_auto_rebucket_in_wave_loop(spark, tmp_path):
+    """``CrawlConfig.auto_rebucket_bytes``: the engine doubles the bucket
+    count inside the wave loop when per-bucket bytes exceed the threshold
+    (staged, published with the wave's commit) — and the visit trace stays
+    byte-identical to a fixed-layout crawl."""
+    def crawl(path, auto):
+        store = StateStore(spark, path, buckets=2)
+        cfg = CrawlConfig(
+            initial_revisit_html_ms=60, min_revisit_ms=1,
+            auto_rebucket_bytes=1 if auto else 0,  # any data at all triggers
+        )
+        eng = CrawlEngine(spark, store, make_site(spark), cfg)
+        eng.add_seeds([ORIGIN], now=T0)
+        waves = eng.run(max_waves=4, k_origins=1, per_host_k=2)
+        trace = sorted(
+            (r["origin_id"], r["path_id"], r["date"], r["status"])
+            for r in store.read("visits").collect()
+        )
+        return store, waves, trace
+
+    s_plain, _, plain = crawl(str(tmp_path / "a"), auto=False)
+    s_auto, waves, auto = crawl(str(tmp_path / "b"), auto=True)
+    assert plain == auto and len(plain) > 0
+    assert s_plain.buckets == 2 and s_auto.buckets > 2
+    assert any("rebucket" in (w.get("phase_secs") or {}) for w in waves)
+    # the evolution was committed: a reopen adopts the grown count
+    assert StateStore(spark, str(tmp_path / "b")).buckets == s_auto.buckets
