@@ -40,7 +40,7 @@ from .operators.process import process_success_rows
 from .operators.wave import eligible_origins, select_wave
 from .sources import content as C
 from .sources.fetchsim import simulate_fetch
-from .tables import StateStore
+from .tables import MUTABLE_TABLES, StateStore
 
 DAY_MS = 86_400_000
 
@@ -1168,6 +1168,51 @@ class CrawlEngine:
                 )
             self.store.save_bloom(self._bloom_bits, self._bloom_meta())
         return stats
+
+    def purge_origin(self, origin_id: int) -> dict:
+        """Full origin takedown — every trace of the host leaves the store.
+
+        The reference keeps history forever (its only deletion is the
+        keep-newest-K screenshot expiry, ``Database.java:455-474``); a real
+        archive at 10^10 rows must honor takedown/robots-revocation
+        requests, so purge is the scale-side maintenance op that composes
+        the store's bucket-pruned deletes:
+
+        - frontier rows via ``retire_locations`` (incl. cuckoo key delete);
+        - the ``origins`` / ``sitemap_entries`` / ``rules`` rows
+          (``delete_where``, COW on touched buckets);
+        - visit/WARC/screenshot HISTORY via ``delete_append_where`` — only
+          the (wave, bucket) files that can contain the origin are read,
+          computed per rebucket epoch; kept rows move to one maintenance
+          wave and ``vacuum`` reclaims the de-listed bucket files.
+
+        Self-commits as its own snapshot: the history rewrite appends at
+        ``committed_wave + 1`` — the id the next crawl wave would claim —
+        so the purge must publish atomically rather than stage.  Call
+        between waves (like every maintenance op).
+        """
+        store = self.store
+        out: dict = {}
+        keys = (
+            store.read_staged("frontier")
+            .filter(F.col("origin_id") == int(origin_id))
+            .select("origin_id", "path_id")
+        )
+        out["frontier"] = self.retire_locations(keys)
+        oid = self.spark.createDataFrame([(int(origin_id),)], "origin_id long")
+        out["origins"] = store.delete_where("origins", oid)
+        for t in ("sitemap_entries", "rules"):
+            tkeys = (
+                store.read_staged(t)
+                .filter(F.col("origin_id") == int(origin_id))
+                .select(*MUTABLE_TABLES[t][1])
+            )
+            out[t] = store.delete_where(t, tkeys)
+        wave = store.committed_wave + 1
+        for t in ("visits", "warc_records", "screenshots"):
+            out[t] = store.delete_append_where(t, [int(origin_id)], wave)
+        store.commit(wave)
+        return out
 
     def reapply_rules_to_origin(self, origin_id: int) -> int:
         """W5 — ``Rule.reapplyRulesToOrigin`` (``Rule.java:48-67``): for every

@@ -1046,6 +1046,79 @@ class StateStore:
         self._bump_epoch()
         return {"buckets": len(targets), "rows_deleted": removed}
 
+    def delete_append_where(self, table: str, origin_ids, wave: int) -> dict:
+        """Bucket-pruned COW delete over an APPEND table's history (the
+        record-purge / takedown path — the reference keeps history forever;
+        purge is our scale-side maintenance op).
+
+        ``origin_ids``: driver-side list (a takedown names a handful of
+        hosts).  Only the (wave, bucket) files that can contain the origins
+        are read — touched buckets computed PER WAVE under the bucket count
+        that wave was written at (``append_bucket_at``), so purge stays
+        correct across rebucket epochs.  Kept rows from touched files are
+        rewritten as the single new wave ``wave`` (append-table reads union
+        wave dirs; row→wave locality is physical, not semantic), and the
+        purged buckets drop out of the old waves' manifest lists — the old
+        files stay on disk for retained snapshots until ``vacuum``, which
+        reclaims de-listed bucket subdirs at file granularity.  Cost is
+        O(touched files), never O(archive): 1/buckets of each wave the
+        origin appears in.  ``wave`` must be a FRESH id (the caller commits
+        it — `CrawlEngine.purge_origin` self-commits for exactly this
+        reason: the id namespace is shared with the crawl loop).
+        """
+        if table not in BUCKETED_APPEND:
+            raise ValueError(f"delete_append_where: {table} is not a bucketed append table")
+        schema = APPEND_TABLES[table]
+        oids = sorted({int(o) for o in origin_ids})
+        with self._mlock:
+            waves = list(self._staged["append"].get(table, []))
+            ab = self._staged.get("append_buckets", {}).get(table, {})
+            bat = self._staged.get("append_bucket_at", {}).get(table, {})
+        affected: list[tuple[int, list]] = []
+        for w in waves:
+            if w == wave:
+                continue
+            bl = ab.get(str(w))
+            if bl is None:
+                # legacy unbucketed wave dir: cannot prune, rewrite whole
+                affected.append((w, None))
+                continue
+            bw = int(bat.get(str(w), self.buckets))
+            tb = sorted({o % bw for o in oids} & {int(b) for b in bl})
+            if tb:
+                affected.append((w, tb))
+        if not affected:
+            return {"waves": 0, "buckets": 0, "rows_deleted": 0}
+        paths, n_buckets = [], 0
+        for w, tb in affected:
+            if tb is None:
+                paths.append(os.path.join(self.root, table, f"wave={w}"))
+                n_buckets += 1
+            else:
+                n_buckets += len(tb)
+                paths.extend(
+                    os.path.join(self.root, table, f"wave={w}", f"bucket={b}") for b in tb
+                )
+        df = self.spark.read.schema(schema).parquet(*paths)
+        cond = F.col("origin_id").isin(oids)  # tiny In — pushed to the scan
+        removed = df.filter(cond).count()
+        self.append(table, df.filter(~cond), wave)
+        with self._mlock:
+            app = self._staged["append"][table]
+            for w, tb in affected:
+                if tb is None:
+                    app.remove(w)
+                    continue
+                left = [b for b in ab[str(w)] if int(b) not in set(tb)]
+                if left:
+                    ab[str(w)] = left
+                else:
+                    app.remove(w)
+                    ab.pop(str(w), None)
+                    bat.pop(str(w), None)
+        self._bump_epoch()
+        return {"waves": len(affected), "buckets": n_buckets, "rows_deleted": removed}
+
     def rebucket(self, new_buckets: int) -> dict:
         """Grow the bucket count (Iceberg partition-spec-evolution analog).
 
@@ -1152,6 +1225,25 @@ class StateStore:
             for table, waves in m.get("append", {}).items():
                 live.setdefault(table, set()).update(f"wave={w}" for w in waves)
 
+        # bucket-level liveness inside kept append wave dirs: a purge
+        # (delete_append_where) de-lists buckets from a wave without
+        # touching its other files, so reclamation must be file-granular
+        # (Iceberg remove_orphan_files works on files, not partitions).
+        # None = some retained manifest has no bucket list for the wave
+        # (legacy/unbucketed) — everything inside stays.
+        live_buckets: dict[tuple, set | None] = {}
+        for m in manifests:
+            for table, waves in m.get("append", {}).items():
+                ab = m.get("append_buckets", {}).get(table, {})
+                for w in waves:
+                    key = (table, f"wave={w}")
+                    bl = ab.get(str(w))
+                    cur = live_buckets.get(key, set())
+                    if bl is None or cur is None:
+                        live_buckets[key] = None
+                    else:
+                        live_buckets[key] = cur | {f"bucket={int(b)}" for b in bl}
+
         deleted = 0
         for table in list(MUTABLE_TABLES) + list(APPEND_TABLES):
             tdir = os.path.join(self.root, table)
@@ -1162,6 +1254,15 @@ class StateStore:
                 if d not in keep and re.fullmatch(r"(v\d+|d\d+|wave=\d+)", d):
                     shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
                     deleted += 1
+                elif d in keep and d.startswith("wave="):
+                    lb = live_buckets.get((table, d))
+                    if lb is None:
+                        continue
+                    wdir = os.path.join(tdir, d)
+                    for sub in os.listdir(wdir):
+                        if re.fullmatch(r"bucket=\d+", sub) and sub not in lb:
+                            shutil.rmtree(os.path.join(wdir, sub), ignore_errors=True)
+                            deleted += 1
         # bloom plane blobs: keep only files referenced by a retained manifest
         bdir = os.path.join(self.root, "bloom")
         if os.path.isdir(bdir):
