@@ -125,6 +125,15 @@ class CrawlConfig:
     # the rewrite rides this wave's commit.  Off by default — 0 keeps the
     # layout fixed and `StateStore.rebucket` stays a manual maintenance op.
     auto_rebucket_bytes: int = 0
+    # L23 small-file maintenance: when >0 and the visits table holds at
+    # least this many wave dirs at the start of a wave, the engine folds
+    # the small ones into one consolidated wave per append table
+    # (StateStore.compact_appends — Iceberg rewrite_data_files bin-pack
+    # analog) as a self-committed maintenance snapshot before the wave.
+    # Off by default; `CrawlEngine.compact_history` stays the manual op.
+    auto_compact_min_waves: int = 0
+    compact_small_bytes: int = 32 << 20
+    compact_max_rewrite_bytes: int = 1 << 30
 
 
 class CrawlEngine:
@@ -240,6 +249,17 @@ class CrawlEngine:
 
         cfg = self.config
         store = self.store
+        if (
+            cfg.auto_compact_min_waves
+            and not store.has_staged_changes()
+            and len(store.manifest["append"].get("visits", []))
+            >= cfg.auto_compact_min_waves
+        ):
+            # fold small per-wave history files BEFORE the wave so its
+            # pruned J6/J7 reads open the consolidated layout; self-commits
+            # its own snapshot (fresh wave id — shared namespace)
+            self.compact_history()
+            _mark("compact_appends")
         if (
             cfg.auto_rebucket_bytes
             and store.table_bytes("frontier", staged=True) / store.buckets
@@ -1212,6 +1232,49 @@ class CrawlEngine:
         for t in ("visits", "warc_records", "screenshots"):
             out[t] = store.delete_append_where(t, [int(origin_id)], wave)
         store.commit(wave)
+        return out
+
+    def compact_history(
+        self,
+        tables: tuple = ("visits", "warc_records", "screenshots", "metrics"),
+        min_waves: int = 2,
+    ) -> dict:
+        """Fold small per-wave append files into consolidated waves
+        (L23 — `StateStore.compact_appends` per table; the maintenance op a
+        continuous crawl needs because every wave leaves ≤1 file per bucket
+        per append table, and at 1000s of waves the file-open/task floor of
+        pruned history reads dominates long before data volume).
+
+        Self-commits as its own snapshot (like ``purge_origin``): the
+        rewrite appends at ``committed_wave + 1`` — the id the next crawl
+        wave would claim — so it must publish atomically rather than stage.
+        Call between waves; no-op commits nothing.  Old files remain for
+        retained snapshots until ``vacuum``.
+        """
+        store, cfg = self.store, self.config
+        wave = store.committed_wave + 1
+        out: dict = {}
+        did = False
+        for t in tables:
+            r = store.compact_appends(
+                t,
+                wave,
+                small_bytes=cfg.compact_small_bytes,
+                max_rewrite_bytes=cfg.compact_max_rewrite_bytes,
+                min_waves=min_waves,
+            )
+            out[t] = r
+            did = did or bool(r["waves_in"])
+        if did:
+            store.log_lineage(
+                wave,
+                [
+                    (wave, t, "compact_appends", None, r["waves_in"])
+                    for t, r in out.items()
+                    if r["waves_in"]
+                ],
+            )
+            store.commit(wave)
         return out
 
     def reapply_rules_to_origin(self, origin_id: int) -> int:

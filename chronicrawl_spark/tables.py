@@ -1119,6 +1119,107 @@ class StateStore:
         self._bump_epoch()
         return {"waves": len(affected), "buckets": n_buckets, "rows_deleted": removed}
 
+    def compact_appends(
+        self,
+        table: str,
+        wave: int,
+        *,
+        small_bytes: int = 32 << 20,
+        max_rewrite_bytes: int = 1 << 30,
+        min_waves: int = 4,
+    ) -> dict:
+        """Bin-pack small per-wave files of an APPEND table into one
+        consolidated wave (the Iceberg ``rewrite_data_files`` bin-pack
+        analog — the reference never needs this because SQLite is one file,
+        ``Database.java:55-64``; at Spark scale a continuous crawl leaves
+        one file per bucket per wave, so a 1000-wave history is ~32k tiny
+        files whose open/footer/task floor dominates every pruned J6/J7
+        read long before data volume does).
+
+        Policy: committed waves whose on-disk dir size is below
+        ``small_bytes`` are candidates; the oldest are folded, up to
+        ``max_rewrite_bytes`` per call, so cost is O(compacted bytes) —
+        bounded and amortizable — never O(archive).  Requires at least
+        ``min_waves`` candidates to bother.  The rewrite goes through
+        ``append``: the merged wave lands under the CURRENT bucket count
+        with rows re-sorted on (origin_id, path_id), which RESTORES
+        row-group min/max clustering across the merged span (the per-wave
+        key sort only clusters within a wave) and collapses any legacy
+        unbucketed / pre-rebucket wave dirs into the pruned layout.  Source
+        waves leave the manifest; their files stay on disk for retained
+        snapshots until ``vacuum`` reclaims them.
+
+        ``wave`` must be a FRESH id (shared namespace with the crawl loop —
+        ``CrawlEngine.compact_history`` self-commits for exactly this
+        reason, like ``purge_origin``).  Staged like every mutation.
+        """
+        if table not in APPEND_TABLES:
+            raise ValueError(f"compact_appends: unknown append table {table}")
+        with self._mlock:
+            waves = list(self._staged["append"].get(table, []))
+        if wave in waves:
+            raise ValueError(f"compact_appends: wave id {wave} already exists for {table}")
+        noop = {"waves_in": 0, "bytes_in": 0, "files_in": 0}
+        if len(waves) < min_waves:
+            return noop
+
+        def _wave_stats(w: int) -> tuple[int, int]:
+            # committed wave dirs are immutable → memoized like version dirs
+            key = (table, "w", w)
+            hit = self._size_memo.get(key)
+            if hit is None:
+                n = files = 0
+                for dirpath, _dirs, fs in os.walk(
+                    os.path.join(self.root, table, f"wave={w}")
+                ):
+                    for f in fs:
+                        if f.startswith(("_", ".")):
+                            continue
+                        try:
+                            n += os.path.getsize(os.path.join(dirpath, f))
+                            files += 1
+                        except OSError:
+                            pass
+                hit = (n, files)
+                self._size_memo[key] = hit
+            return hit
+
+        sized = sorted((w for w in waves if _wave_stats(w)[0] < small_bytes))
+        take, tot_b, tot_f = [], 0, 0
+        for w in sized:
+            b, fl = _wave_stats(w)
+            if take and tot_b + b > max_rewrite_bytes:
+                break
+            take.append(w)
+            tot_b += b
+            tot_f += fl
+        if len(take) < min_waves:
+            return noop
+        schema = APPEND_TABLES[table]
+        with self._mlock:
+            ab = self._staged.get("append_buckets", {}).get(table, {})
+            blists = {w: ab.get(str(w)) for w in take}
+        paths = []
+        for w in take:
+            base = os.path.join(self.root, table, f"wave={w}")
+            bl = blists[w]
+            if bl is None:  # legacy unbucketed wave dir: plain files
+                paths.append(base)
+            else:  # leaf dirs — mixed roots break partition discovery
+                paths.extend(os.path.join(base, f"bucket={b}") for b in bl)
+        df = self.spark.read.schema(schema).parquet(*paths)
+        self.append(table, df, wave)
+        with self._mlock:
+            app = self._staged["append"][table]
+            for w in take:
+                app.remove(w)
+            for m in ("append_buckets", "append_bucket_at"):
+                sub = self._staged.get(m, {}).get(table, {})
+                for w in take:
+                    sub.pop(str(w), None)
+        self._bump_epoch()
+        return {"waves_in": len(take), "bytes_in": tot_b, "files_in": tot_f}
+
     def rebucket(self, new_buckets: int) -> dict:
         """Grow the bucket count (Iceberg partition-spec-evolution analog).
 
