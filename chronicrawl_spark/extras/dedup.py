@@ -278,8 +278,14 @@ MINHASH_SEEDS = [f"s{i}" for i in range(6)]
 
 
 def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc (indexed transform, JVM-side)."""
-    words = _words()
+    """Distinct word n-gram shingles per doc (indexed transform, JVM-side).
+
+    The word array is materialized in its own projection first: inlined,
+    the split/lower of the full text re-evaluates on every element access
+    inside the transform lambda (~3× per shingle).  CollapseProject keeps
+    multi-use non-cheap expressions in separate projects, so the split
+    runs once per row."""
+    words = F.col("w")
     sh = F.when(
         F.size(words) >= n,
         F.transform(
@@ -292,7 +298,11 @@ def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return docs.select("doc_id", F.explode(sh).alias("sh")).distinct()
+    return (
+        docs.select("doc_id", _words().alias("w"))
+        .select("doc_id", F.explode(sh).alias("sh"))
+        .distinct()
+    )
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
