@@ -167,3 +167,20 @@ def test_thumbnail_producer_no_shuffle(spark, tmp_path):
     warc = store.read("warc_records")  # empty relation, full schema
     plan = formatted_plan(image_response_thumbnails(warc))
     assert count_exchanges(plan) == 0
+
+
+def test_text_split_evaluates_once_per_row(spark):
+    """The word array feeding shingle/fingerprint lambdas must be
+    materialized in its own projection.  Inlined, Catalyst substitutes the
+    split(lower(text)) expression into every element access of the
+    transform lambda (~3x per shingle, x2 aggregates for fingerprint) and
+    CollapseProject will NOT collapse multi-use non-cheap expressions —
+    but a refactor that inlines the column again silently re-inflates the
+    scan stage several-fold (measured 4.8 s -> 0.44 s at sf0.1).  Pin:
+    exactly ONE split() in each physical plan."""
+    from chronicrawl_spark.extras.dedup import word_shingles
+    from chronicrawl_spark.extras.textstats import fingerprint
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    assert formatted_plan(fingerprint(docs)).count("split(") == 1
+    assert formatted_plan(word_shingles(docs)).count("split(") == 1
