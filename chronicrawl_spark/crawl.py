@@ -361,7 +361,32 @@ class CrawlEngine:
         # (32 → 128 through two unions) — coalesce back to the session
         # parallelism before checkpointing or every downstream write runs
         # 4× tiny tasks / output files
-        exch = exch.coalesce(self.spark.sparkContext.defaultParallelism).localCheckpoint(eager=True)
+        par = self.spark.sparkContext.defaultParallelism
+        exch = exch.coalesce(par).localCheckpoint(eager=True)
+        # AQE coalesces shuffle output by COMPRESSED byte size, so a wave
+        # whose payloads compress well can materialize in 1-3 partitions —
+        # starving every downstream per-wave job of parallelism (worst case
+        # the Arrow image-decode stage, whose cost scales with ROWS, not
+        # bytes: measured 39 s single-worker vs ~1.5 s balanced on a 60k-row
+        # wave of compressible images).  coalesce() can only merge, never
+        # split, so when the materialized exchange landed below the session
+        # parallelism, rebalance it with an explicit repartition keyed on
+        # the storage bucket (pmod(origin_id, buckets), the same expression
+        # the payload appends partition by): whole buckets stay in one task,
+        # so the warc/screenshot appends remain shuffle-free with ≤1 file
+        # per bucket per union side, while compute-dense stages get ~0.6×buckets
+        # task parallelism.  The condition fires only when the wave is
+        # physically small (< par × AQE advisory bytes compressed), so the
+        # extra shuffle is bounded; at cluster scale AQE already leaves
+        # ≥ par partitions and this is a no-op.
+        if exch.rdd.getNumPartitions() < min(par, self.store.buckets):
+            balanced = exch.repartition(
+                max(par, self.store.buckets),
+                F.pmod(F.col("origin_id"), F.lit(self.store.buckets)),
+            ).localCheckpoint(eager=True)
+            exch.unpersist()
+            exch = balanced
+        exch_partitions = exch.rdd.getNumPartitions()
         _mark("exchange")
 
         n_fetched = n_wave  # one visit row per wave row by construction
@@ -439,6 +464,7 @@ class CrawlEngine:
         return {
             "wave": w, "ts": T, "fetched": n_fetched, "parked": n_parked,
             "discovered": n_disc, "phase_secs": phases,
+            "exch_partitions": exch_partitions,
         }
 
     def run(self, max_waves: int, **kw) -> list[dict]:
