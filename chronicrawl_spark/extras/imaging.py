@@ -1013,3 +1013,56 @@ def image_thumbnails(images, max_dim: int = 16, carry_cols: tuple = ()):
     return images.select("image_id", "bytes", "fmt", *carry_cols).mapInPandas(
         batches, out_schema
     )
+
+
+def decode_verify_thumbnails(images, max_dim: int = 16):
+    """The north-rule decode phase as ONE fused Arrow stage: decode →
+    per-row invariant (phash of the DECODED pixels == the stored ``phash``
+    column — the input_hint's decoded-pixel check, exact for lossless
+    formats and for jpeg because the stored hash is itself taken from the
+    decoder's output, fixtures._image_row) → bilinear thumbnail → lossless
+    PNG re-encode.
+
+    Input: input_hint-shaped table (image_id, bytes, fmt, phash, caption).
+    Output: (image_id, ok boolean, thumb_w, thumb_h, thumbnail binary,
+    caption, error) — a narrow ``mapInPandas`` map with zero shuffle;
+    payload bytes never leave the executor.  Undecodable rows surface as
+    ``error`` (ok = false), never fail the batch.  This is the stage the
+    decode-component scaling bench (scripts/decode_scaling_bench.py) times
+    at two cluster sizes.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("ok", T.BooleanType()),
+            T.StructField("thumb_w", T.IntegerType()),
+            T.StructField("thumb_h", T.IntegerType()),
+            T.StructField("thumbnail", T.BinaryType()),
+            T.StructField("caption", T.StringType()),
+            T.StructField("error", T.StringType()),
+        ]
+    )
+
+    def batches(frames):
+        for pdf in frames:
+            out = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    px = decode_image(bytes(r.bytes), r.fmt)
+                    ok = phash64(px) == int(r.phash)
+                    tw, th = thumbnail_dims(px.shape[1], px.shape[0], max_dim)
+                    thumb = resize_bilinear(px, tw, th)
+                    out.append((r.image_id, ok, tw, th, encode_png(thumb), r.caption, None))
+                except Exception as e:  # noqa: BLE001 — poison-row isolation
+                    out.append((r.image_id, False, None, None, None, r.caption, str(e)[:200]))
+            yield pd.DataFrame(
+                out,
+                columns=["image_id", "ok", "thumb_w", "thumb_h", "thumbnail", "caption", "error"],
+            )
+
+    return images.select("image_id", "bytes", "fmt", "phash", "caption").mapInPandas(
+        batches, out_schema
+    )

@@ -90,32 +90,68 @@ IMAGES_SCHEMA = T.StructType(
 )
 
 
+DEFAULT_FMT_CYCLE = ("bmp", "png", "jpeg", "gif")
+
+
+def _image_row(i: int, w: int, h: int, fmt: str) -> tuple:
+    """One deterministic input_hint row: seeded pixels → encode → stored
+    phash.  Lossless rows (bmp, png, gif-on-paletted) store the phash of
+    the source pixels; jpeg rows store the phash of the DECODED pixels
+    (the decoder in the pipeline must reproduce it bit-for-bit) and carry
+    the PSNR ≥ 40 dB lossy invariant against the pristine source."""
+    if fmt == "jpeg":
+        px = make_smooth_image(w, h, seed=i)
+        data = encode_jpeg(px, quality=95)
+        ph = phash64(decode_jpeg(data))
+    elif fmt == "gif":
+        px = make_paletted_image(w, h, seed=i)
+        data = encode_gif(px)
+        ph = phash64(px)
+    else:
+        px = make_test_image(w, h, seed=i)
+        data = encode_png(px) if fmt == "png" else encode_bmp(px)
+        ph = phash64(px)
+    return (f"img{i:04d}", data, w, h, fmt, f"caption for image {i}", ph)
+
+
 def make_images(spark: SparkSession, n: int = 8, w: int = 32, h: int = 24) -> DataFrame:
     """Deterministic image+caption table (input_hint shape).  Rows cycle
     BMP / PNG / baseline-JPEG / GIF — all four from-scratch codecs
     (extras/imaging.py), covering every image content type in the
-    reference's seed data (schema.sql:102-112).  Lossless rows (bmp, png,
-    gif-on-paletted) store the phash of the source pixels; jpeg rows store
-    the phash of the DECODED pixels (the decoder in the pipeline must
-    reproduce it bit-for-bit) and carry the PSNR ≥ 40 dB lossy invariant
-    against the pristine source instead."""
-    rows = []
-    for i in range(n):
-        fmt = ("bmp", "png", "jpeg", "gif")[i % 4]
-        if fmt == "jpeg":
-            px = make_smooth_image(w, h, seed=i)
-            data = encode_jpeg(px, quality=95)
-            ph = phash64(decode_jpeg(data))
-        elif fmt == "gif":
-            px = make_paletted_image(w, h, seed=i)
-            data = encode_gif(px)
-            ph = phash64(px)
-        else:
-            px = make_test_image(w, h, seed=i)
-            data = encode_png(px) if fmt == "png" else encode_bmp(px)
-            ph = phash64(px)
-        rows.append((f"img{i:04d}", data, w, h, fmt, f"caption for image {i}", ph))
+    reference's seed data (schema.sql:102-112).  Driver-side; for scale
+    use ``make_images_distributed`` (same rows, executor-generated)."""
+    rows = [_image_row(i, w, h, DEFAULT_FMT_CYCLE[i % 4]) for i in range(n)]
     return spark.createDataFrame(rows, IMAGES_SCHEMA)
+
+
+def make_images_distributed(
+    spark: SparkSession,
+    n: int,
+    w: int = 128,
+    h: int = 96,
+    fmt_cycle: tuple = DEFAULT_FMT_CYCLE,
+    partitions: int | None = None,
+) -> DataFrame:
+    """``make_images`` at scale: the same deterministic rows, but pixels
+    are generated and encoded IN the executors (Arrow ``mapInPandas`` over
+    ``spark.range(n)``), so a 10^8-image seed table never rides the driver.
+    Given the same (n, w, h, fmt_cycle) the rows are byte-identical to
+    ``make_images`` (pinned by ``tests/test_imaging.py``)."""
+    import pandas as pd
+
+    cycle = tuple(fmt_cycle)
+    parts = partitions or spark.sparkContext.defaultParallelism * 2
+    cols = [f.name for f in IMAGES_SCHEMA.fields]
+
+    def gen(frames):
+        for pdf in frames:
+            rows = [
+                _image_row(i, w, h, cycle[i % len(cycle)])
+                for i in (int(v) for v in pdf["id"])
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(n).repartition(parts).mapInPandas(gen, IMAGES_SCHEMA)
 
 
 def image_site(

@@ -378,3 +378,54 @@ def test_image_thumbnails_operator(spark):
         from chronicrawl_spark.extras.imaging import phash64 as ph
 
         assert ph(px) == r["thumb_phash"]
+
+
+def test_make_images_distributed_matches_driver_fixture(spark):
+    """The executor-side generator must be byte-identical to the driver-side
+    make_images for the same (n, w, h, fmt cycle) — the scale seed is the
+    same deterministic table, not an approximation."""
+    from chronicrawl_spark.fixtures import make_images, make_images_distributed
+
+    a = {r["image_id"]: r for r in make_images(spark, n=8, w=32, h=24).collect()}
+    b = {
+        r["image_id"]: r
+        for r in make_images_distributed(spark, 8, w=32, h=24, partitions=4).collect()
+    }
+    assert set(a) == set(b)
+    for k in a:
+        assert bytes(a[k]["bytes"]) == bytes(b[k]["bytes"])
+        assert (a[k]["fmt"], a[k]["phash"], a[k]["caption"]) == (
+            b[k]["fmt"], b[k]["phash"], b[k]["caption"]
+        )
+
+
+def test_decode_verify_thumbnails_stage(spark):
+    """Fused decode→phash-invariant→thumbnail stage: ok=true on pristine
+    rows (all four codecs), ok=false on a phash mismatch, error-isolated
+    (not fatal) on poison bytes."""
+    from chronicrawl_spark.extras.imaging import decode_verify_thumbnails
+    from chronicrawl_spark.fixtures import make_images
+
+    imgs = make_images(spark, n=8, w=32, h=24)
+    tampered = imgs.limit(1).selectExpr(
+        "concat('tamper_', image_id) as image_id", "bytes", "w", "h", "fmt",
+        "caption", "phash + 1 as phash",
+    )
+    poison = spark.createDataFrame(
+        [("bad0", b"not an image", 32, 24, "png", "x", 0)], imgs.schema
+    )
+    out = {
+        r["image_id"]: r
+        for r in decode_verify_thumbnails(
+            imgs.unionByName(tampered).unionByName(poison), max_dim=16
+        ).collect()
+    }
+    assert len(out) == 10
+    assert out["bad0"]["ok"] is False and out["bad0"]["error"] is not None
+    assert out["tamper_img0000"]["ok"] is False and out["tamper_img0000"]["error"] is None
+    for k, r in out.items():
+        if k.startswith(("bad", "tamper_")):
+            continue
+        assert r["ok"] is True and r["error"] is None
+        assert (r["thumb_w"], r["thumb_h"]) == (16, 12)
+        assert r["caption"] == f"caption for image {int(k[3:])}"
