@@ -11,7 +11,7 @@ Crawl-semantics operators (W1/W2/J5/J6/J7/A1/A3/A4/W3/W4/W5/U1/C10/C11/C12)
 are expressed over the shared TPC-H-ish tables so DuckDB can verify them
 value-for-value; the full crawl-engine pipeline itself (wave loop, robots,
 sitemap, AIMD state machine) is exercised by the rows-only entries
-(``crawl_fixture_trace``, ``image_pipeline``, ``seen_filter_equivalence``,
+(``crawl_fixture_trace``, ``seen_filter_equivalence``,
 ...) and bit-exactly by ``tests/test_crawl_parity.py``.
 """
 
@@ -1218,64 +1218,77 @@ def q_crawl_fixture_trace(spark, sf_dir):
     )
 
 
-def q_image_pipeline(spark, sf_dir):
-    """Image payload plumbing, decode-verify + resize in one entry (L12+L13,
-    rows-only: binary payloads aren't SQL-expressible): binary column →
-    Arrow batch → numpy decode → phash/caption/PSNR verification
-    (input_hint per-row invariant), joined with the Arrow resize stage's
-    thumbnail output (extras/imaging.image_thumbnails) over the same
-    fixture images.  BMP, PNG and baseline-JPEG decodes are real
-    from-scratch codecs; jpeg rows exercise the SURVEY §1.3 lossy invariant
-    (PSNR ≥ 40 dB vs the pristine source).  Pixel/phash/poison-row resize
-    invariants are asserted in tests/test_imaging.py."""
-    import pandas as pd
-    from pyspark.sql import types as T
+def q_image_decode_verify(spark, sf_dir):
+    """The north-rule image stage as ONE fused Arrow map (L12+L13,
+    oracle-verified): input_hint-shaped fixture table — all four
+    from-scratch codecs, landscape AND portrait rows — through
+    extras/imaging.decode_verify_thumbnails (decode → phash-of-DECODED-
+    pixels == stored phash, the input_hint per-row invariant → bilinear
+    thumbnail → lossless PNG re-encode).  The thumbnail payload is
+    certified byte-exactly via md5, so the oracle pins the full decoded-
+    pixel path, not just metadata.  Poison-row isolation and the
+    SURVEY §1.3 PSNR ≥ 40 dB lossy invariant are asserted in
+    tests/test_imaging.py; ref analog: every rendered visit yields a
+    derived thumbnail (Exchange.java:198-201)."""
+    from chronicrawl_spark.extras.imaging import decode_verify_thumbnails
+    from chronicrawl_spark.fixtures import make_images
+
+    land = make_images(spark, n=16, w=32, h=24)
+    port = make_images(spark, n=8, w=20, h=40).selectExpr(
+        "concat('p_', image_id) AS image_id", "bytes", "w", "h", "fmt",
+        "caption", "phash",
+    )
+    out = decode_verify_thumbnails(land.unionByName(port), max_dim=16)
+    return out.select(
+        "image_id",
+        "ok",
+        "thumb_w",
+        "thumb_h",
+        F.md5("thumbnail").alias("thumb_md5"),
+        "caption",
+        "error",
+    )
+
+
+def _sql_image_decode_verify() -> str:
+    """Computable oracle for ``image_decode_verify``: the image fixtures
+    are closed-form (seeded pixel ramps, no RNG), so the expected rows —
+    including the md5 of the exact thumbnail PNG bytes — are precomputed
+    here with the same from-scratch codecs and registered as a DuckDB
+    constant table (the audio/video oracle pattern)."""
+    import hashlib
 
     from chronicrawl_spark.extras.imaging import (
         decode_image,
-        make_paletted_image,
-        make_smooth_image,
+        encode_png,
         phash64,
-        psnr,
+        resize_bilinear,
+        thumbnail_dims,
     )
-    from chronicrawl_spark.extras.imaging import image_thumbnails
-    from chronicrawl_spark.fixtures import make_images, make_test_image
+    from chronicrawl_spark.fixtures import DEFAULT_FMT_CYCLE, _image_row
 
-    imgs = make_images(spark, n=16, w=32, h=24)
-
-    schema = T.StructType(
-        [
-            T.StructField("image_id", T.StringType()),
-            T.StructField("phash_match", T.BooleanType()),
-            T.StructField("psnr_ok", T.BooleanType()),
-            T.StructField("caption", T.StringType()),
-        ]
-    )
-
-    def verify(batches):
-        for pdf in batches:
-            out = []
-            for r in pdf.to_dict("records"):
-                px = decode_image(bytes(r["bytes"]), r["fmt"])
-                gen = {"jpeg": make_smooth_image, "gif": make_paletted_image}.get(
-                    r["fmt"], make_test_image
-                )
-                ref = gen(r["w"], r["h"], seed=int(r["image_id"][3:]))
-                out.append(
-                    (
-                        r["image_id"],
-                        phash64(px) == r["phash"],
-                        psnr(px, ref) >= 40.0,
-                        r["caption"],
-                    )
-                )
-            yield pd.DataFrame(out, columns=["image_id", "phash_match", "psnr_ok", "caption"])
-
-    verified = imgs.mapInPandas(verify, schema)
-    thumbs = image_thumbnails(imgs, max_dim=16).select(
-        "image_id", "thumb_w", "thumb_h", "thumb_phash", F.col("error").alias("thumb_error")
-    )
-    return verified.join(thumbs, "image_id")
+    rows = []
+    for prefix, n, w, h in (("", 16, 32, 24), ("p_", 8, 20, 40)):
+        for i in range(n):
+            img_id, data, _w, _h, fmt, cap, ph = _image_row(
+                i, w, h, DEFAULT_FMT_CYCLE[i % len(DEFAULT_FMT_CYCLE)]
+            )
+            px = decode_image(bytes(data), fmt)
+            assert phash64(px) == ph
+            tw, th = thumbnail_dims(px.shape[1], px.shape[0], 16)
+            md5 = hashlib.md5(encode_png(resize_bilinear(px, tw, th))).hexdigest()
+            rows.append(f"('{prefix}{img_id}', {tw}, {th}, '{md5}', '{cap}')")
+    values = ",\n       ".join(rows)
+    return f"""
+SELECT image_id,
+       CAST(TRUE AS BOOLEAN) AS ok,
+       CAST(thumb_w AS INTEGER) AS thumb_w,
+       CAST(thumb_h AS INTEGER) AS thumb_h,
+       thumb_md5,
+       caption,
+       CAST(NULL AS VARCHAR) AS error
+FROM (VALUES {values}) AS t(image_id, thumb_w, thumb_h, thumb_md5, caption)
+"""
 
 
 def q_schedule_next_fire(spark, sf_dir):
@@ -1706,11 +1719,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "video_frame_sample": q_video_frame_sample,
         "aimd_backfill": q_aimd_backfill,
+        "image_decode_verify": q_image_decode_verify,
         # crawl-pipeline components — rows-only (non-SQL-expressible)
         "crawl_fixture_trace": q_crawl_fixture_trace,
         "j9_record_fetch": q_j9_record_fetch,
         "text_diff": q_text_diff,
-        "image_pipeline": q_image_pipeline,
         "aimd_stream_parity": q_aimd_stream_parity,
         "schedule_next_fire": q_schedule_next_fire,
         "seen_filter_equivalence": q_seen_filter_equivalence,
@@ -1762,7 +1775,8 @@ def oracle_sql() -> dict[str, str]:
         "aimd_backfill": SQL_AIMD_BACKFILL,
         "audio_features": _sql_audio_features(),
         "video_frame_sample": _sql_video_frame_sample(),
-        # crawl_fixture_trace / j9_record_fetch / text_diff / image_pipeline /
+        "image_decode_verify": _sql_image_decode_verify(),
+        # crawl_fixture_trace / j9_record_fetch / text_diff /
         # aimd_stream_parity / schedule_next_fire / seen_filter_equivalence:
         # intentionally omitted (non-SQL-expressible pipeline components;
         # rows-only check)

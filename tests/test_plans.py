@@ -226,3 +226,16 @@ def test_exchange_checkpoint_parallelism_floor(spark, tmp_path):
         os.path.join(str(tmp_path / "state"), "warc_records", f"wave={r['wave']}", "bucket=*", "*.parquet")
     )
     assert 0 < len(files) <= 2 * store.buckets
+
+
+def test_decode_verify_thumbnails_no_shuffle(spark):
+    """The fused decode→phash-verify→thumbnail stage (the decode-component
+    scaling bench's timed job) must stay ONE narrow mapInPandas map: zero
+    exchanges — image payload bytes never shuffle and never ride a join
+    (keys are echoed through the stage)."""
+    from chronicrawl_spark.extras.imaging import decode_verify_thumbnails
+    from chronicrawl_spark.fixtures import make_images
+    from chronicrawl_spark.plans.inspect import count_exchanges, formatted_plan
+
+    plan = formatted_plan(decode_verify_thumbnails(make_images(spark, n=4)))
+    assert count_exchanges(plan) == 0
