@@ -88,8 +88,11 @@ def run_once(df):
     ).collect()[0]
     return row["n"], row["ok"], row["thumb_bytes"]
 
-# warmup: spin up executor Python workers + JIT on a file-pruned slice
-run_once(images.limit(WARMUP_ROWS))
+# warmup: spin up EVERY executor core's Python worker (numpy import +
+# codec JIT) before the timed window — a limit() slice would touch only a
+# few tasks and leave most workers cold-starting inside the measurement,
+# so the slice is fanned across 2× total cores first
+run_once(images.limit(WARMUP_ROWS).repartition(total_cores * 2))
 
 t0 = time.time()
 n, ok, tb = run_once(images)
