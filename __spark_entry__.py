@@ -1226,11 +1226,15 @@ def q_image_decode_verify(spark, sf_dir):
     pixels == stored phash, the input_hint per-row invariant → bilinear
     thumbnail → lossless PNG re-encode).  The thumbnail payload is
     certified byte-exactly via md5, so the oracle pins the full decoded-
-    pixel path, not just metadata.  Poison-row isolation and the
-    SURVEY §1.3 PSNR ≥ 40 dB lossy invariant are asserted in
-    tests/test_imaging.py; ref analog: every rendered visit yields a
-    derived thumbnail (Exchange.java:198-201)."""
-    from chronicrawl_spark.extras.imaging import decode_verify_thumbnails
+    pixel path, not just metadata.  ``with_quality=True`` fuses the
+    training-data filter metrics (brightness/contrast/entropy/sharpness/
+    saturation, imaging.quality_stats) into the same Arrow stage — one
+    decode feeds invariant + thumbnail + quality, all five doubles
+    hash-verified bitwise against the driver-side recomputation.
+    Poison-row isolation and the SURVEY §1.3 PSNR ≥ 40 dB lossy invariant
+    are asserted in tests/test_imaging.py; ref analog: every rendered
+    visit yields a derived thumbnail (Exchange.java:198-201)."""
+    from chronicrawl_spark.extras.imaging import QUALITY_COLS, decode_verify_thumbnails
     from chronicrawl_spark.fixtures import make_images
 
     land = make_images(spark, n=16, w=32, h=24)
@@ -1238,7 +1242,9 @@ def q_image_decode_verify(spark, sf_dir):
         "concat('p_', image_id) AS image_id", "bytes", "w", "h", "fmt",
         "caption", "phash",
     )
-    out = decode_verify_thumbnails(land.unionByName(port), max_dim=16)
+    out = decode_verify_thumbnails(
+        land.unionByName(port), max_dim=16, with_quality=True
+    )
     return out.select(
         "image_id",
         "ok",
@@ -1247,21 +1253,25 @@ def q_image_decode_verify(spark, sf_dir):
         F.md5("thumbnail").alias("thumb_md5"),
         "caption",
         "error",
+        *QUALITY_COLS,
     )
 
 
 def _sql_image_decode_verify() -> str:
     """Computable oracle for ``image_decode_verify``: the image fixtures
     are closed-form (seeded pixel ramps, no RNG), so the expected rows —
-    including the md5 of the exact thumbnail PNG bytes — are precomputed
-    here with the same from-scratch codecs and registered as a DuckDB
-    constant table (the audio/video oracle pattern)."""
+    including the md5 of the exact thumbnail PNG bytes AND the five
+    quality doubles (emitted via ``_dlit``: repr string → DuckDB
+    string→double parse, bit-exact) — are precomputed here
+    with the same from-scratch codecs and registered as a DuckDB constant
+    table (the audio/video oracle pattern)."""
     import hashlib
 
     from chronicrawl_spark.extras.imaging import (
         decode_image,
         encode_png,
         phash64,
+        quality_stats,
         resize_bilinear,
         thumbnail_dims,
     )
@@ -1277,7 +1287,8 @@ def _sql_image_decode_verify() -> str:
             assert phash64(px) == ph
             tw, th = thumbnail_dims(px.shape[1], px.shape[0], 16)
             md5 = hashlib.md5(encode_png(resize_bilinear(px, tw, th))).hexdigest()
-            rows.append(f"('{prefix}{img_id}', {tw}, {th}, '{md5}', '{cap}')")
+            q = ", ".join(_dlit(v) for v in quality_stats(px))
+            rows.append(f"('{prefix}{img_id}', {tw}, {th}, '{md5}', '{cap}', {q})")
     values = ",\n       ".join(rows)
     return f"""
 SELECT image_id,
@@ -1286,8 +1297,14 @@ SELECT image_id,
        CAST(thumb_h AS INTEGER) AS thumb_h,
        thumb_md5,
        caption,
-       CAST(NULL AS VARCHAR) AS error
-FROM (VALUES {values}) AS t(image_id, thumb_w, thumb_h, thumb_md5, caption)
+       CAST(NULL AS VARCHAR) AS error,
+       CAST(brightness AS DOUBLE) AS brightness,
+       CAST(contrast AS DOUBLE) AS contrast,
+       CAST(entropy AS DOUBLE) AS entropy,
+       CAST(sharpness AS DOUBLE) AS sharpness,
+       CAST(saturation AS DOUBLE) AS saturation
+FROM (VALUES {values}) AS t(image_id, thumb_w, thumb_h, thumb_md5, caption,
+                            brightness, contrast, entropy, sharpness, saturation)
 """
 
 
@@ -1558,13 +1575,23 @@ def q_audio_features(spark, sf_dir):
     return audio_features(df)
 
 
+def _dlit(v: float) -> str:
+    """Render a float64 as a DuckDB expression that parses back to the
+    EXACT same bits.  A bare 17-significant-digit literal binds as
+    DECIMAL first, and decimal→double is a second rounding — off by 1 ulp
+    whenever the digit string's mantissa exceeds 2^53 (measured here).
+    String→double (fast_float) is correctly rounded, so route through it."""
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
 def _sql_audio_features() -> str:
     """Computable oracle for ``audio_features``: the WAV fixtures are
     closed-form (two-tone sines, no RNG), so the expected features are
     precomputed here with the SAME numpy codec the Spark stage runs
     (bitwise-identical float64 ops) and registered as a DuckDB constant
-    table.  Doubles are emitted via repr() — shortest round-trip decimal,
-    parsed back to the exact same bits."""
+    table.  Doubles are emitted via ``_dlit`` (repr string →
+    string→double parse), which is bit-exact where a bare numeric literal
+    would take DuckDB's DECIMAL path and lose the last ulp."""
     import numpy as np
 
     from chronicrawl_spark.extras.media import decode_wav, encode_wav, make_test_audio
@@ -1581,8 +1608,9 @@ def _sql_audio_features() -> str:
             else 0.0
         )
         rows.append(
-            f"('aud{i:03d}', {rate}, {s.shape[1]}, {1000.0 * s.shape[0] / rate!r}, "
-            f"{rms!r}, {peak}, {zc!r})"
+            f"('aud{i:03d}', {rate}, {s.shape[1]}, "
+            f"{_dlit(1000.0 * s.shape[0] / rate)}, "
+            f"{_dlit(rms)}, {peak}, {_dlit(zc)})"
         )
     values = ",\n       ".join(rows)
     return f"""

@@ -921,6 +921,68 @@ def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
 
 
+QUALITY_COLS = ("brightness", "contrast", "entropy", "sharpness", "saturation")
+
+
+def quality_stats(px: np.ndarray) -> tuple:
+    """Per-image quality metrics for training-data filtering — the stats a
+    LAION-style image pipeline thresholds on before a sample enters a
+    training set:
+
+    - ``brightness``: mean luma (0-255); culls near-black/near-white scans
+    - ``contrast``: luma standard deviation; culls flat/blank frames
+    - ``entropy``: Shannon entropy of the 256-bin luma histogram in
+      bits/pixel; culls synthetic/solid-color images
+    - ``sharpness``: variance of the 4-neighbour Laplacian — the classic
+      blur detector (Pech-Pacheco et al., ICPR 2000)
+    - ``saturation``: mean per-pixel channel range (max-min); culls
+      grayscale-masquerading-as-RGB
+
+    All metrics are computed over the quantized uint8 gray plane (the
+    OpenCV convention: gray = round((299R + 587G + 114B)/1000), half-up)
+    from EXACT integer sums.  That choice is load-bearing for the oracle:
+    numpy float64 reductions (``mean``/``std``/``var``) are pairwise sums
+    whose association order depends on the array's memory alignment, so
+    the same pixels can yield ±1-ulp-different floats run to run —
+    measured in this sandbox — which breaks a bitwise value-hash gate.
+    Integer addition is associative, so the int64 sums below are identical
+    under ANY reduction order; each float result is then one correctly-
+    rounded big-int division (Python ``/``), ``math.sqrt``, or
+    ``math.fsum`` (exactly rounded) — bitwise reproducible across
+    executors, the driver, and DuckDB's literal parser.  int64 bounds:
+    Σgray² ≤ 65025·n (overflows past ~1.4e14 px), Σlap² ≤ 1.04e6·n
+    (~8.8e12 px) — far beyond any decodable image.
+    """
+    import math
+
+    p = px.astype(np.int64)
+    luma_milli = 299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]
+    gray = (luma_milli + 500) // 1000
+    n = gray.size
+    s1, s2 = int(gray.sum()), int((gray * gray).sum())
+    brightness = s1 / n
+    contrast = math.sqrt((n * s2 - s1 * s1) / (n * n))
+    hist = np.bincount(gray.ravel(), minlength=256)
+    entropy = -math.fsum(
+        (c / n) * math.log2(c / n) for c in hist.tolist() if c
+    ) + 0.0  # +0.0 normalizes the single-bin -0.0
+    if gray.shape[0] >= 3 and gray.shape[1] >= 3:
+        lap = (
+            gray[:-2, 1:-1]
+            + gray[2:, 1:-1]
+            + gray[1:-1, :-2]
+            + gray[1:-1, 2:]
+            - 4 * gray[1:-1, 1:-1]
+        )
+        m = lap.size
+        t1, t2 = int(lap.sum()), int((lap * lap).sum())
+        sharpness = (m * t2 - t1 * t1) / (m * m)
+    else:
+        sharpness = 0.0
+    saturation = int((p.max(axis=2) - p.min(axis=2)).sum()) / n
+    return brightness, contrast, entropy, sharpness, saturation
+
+
 # --------------------------------------------------------------- transforms
 
 def resize_bilinear(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
@@ -1015,7 +1077,7 @@ def image_thumbnails(images, max_dim: int = 16, carry_cols: tuple = ()):
     )
 
 
-def decode_verify_thumbnails(images, max_dim: int = 16):
+def decode_verify_thumbnails(images, max_dim: int = 16, with_quality: bool = False):
     """The north-rule decode phase as ONE fused Arrow stage: decode →
     per-row invariant (phash of the DECODED pixels == the stored ``phash``
     column — the input_hint's decoded-pixel check, exact for lossless
@@ -1030,21 +1092,32 @@ def decode_verify_thumbnails(images, max_dim: int = 16):
     ``error`` (ok = false), never fail the batch.  This is the stage the
     decode-component scaling bench (scripts/decode_scaling_bench.py) times
     at two cluster sizes.
+
+    ``with_quality=True`` fuses the training-data filter metrics
+    (``quality_stats``: brightness/contrast/entropy/sharpness/saturation)
+    into the SAME stage, appending five double columns — the pixels are
+    already decoded in-register here, so computing the filter stats costs
+    one extra pass over the luma plane instead of a second decode in a
+    separate job (at 100 TB, decode dominates; never decode twice).
     """
     import pandas as pd
     from pyspark.sql import types as T
 
-    out_schema = T.StructType(
-        [
-            T.StructField("image_id", T.StringType()),
-            T.StructField("ok", T.BooleanType()),
-            T.StructField("thumb_w", T.IntegerType()),
-            T.StructField("thumb_h", T.IntegerType()),
-            T.StructField("thumbnail", T.BinaryType()),
-            T.StructField("caption", T.StringType()),
-            T.StructField("error", T.StringType()),
-        ]
-    )
+    base_cols = ["image_id", "ok", "thumb_w", "thumb_h", "thumbnail", "caption", "error"]
+    fields = [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("thumb_w", T.IntegerType()),
+        T.StructField("thumb_h", T.IntegerType()),
+        T.StructField("thumbnail", T.BinaryType()),
+        T.StructField("caption", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+    cols = list(base_cols)
+    if with_quality:
+        fields += [T.StructField(c, T.DoubleType()) for c in QUALITY_COLS]
+        cols += list(QUALITY_COLS)
+    out_schema = T.StructType(fields)
 
     def batches(frames):
         for pdf in frames:
@@ -1055,13 +1128,16 @@ def decode_verify_thumbnails(images, max_dim: int = 16):
                     ok = phash64(px) == int(r.phash)
                     tw, th = thumbnail_dims(px.shape[1], px.shape[0], max_dim)
                     thumb = resize_bilinear(px, tw, th)
-                    out.append((r.image_id, ok, tw, th, encode_png(thumb), r.caption, None))
+                    row = (r.image_id, ok, tw, th, encode_png(thumb), r.caption, None)
+                    if with_quality:
+                        row += quality_stats(px)
+                    out.append(row)
                 except Exception as e:  # noqa: BLE001 — poison-row isolation
-                    out.append((r.image_id, False, None, None, None, r.caption, str(e)[:200]))
-            yield pd.DataFrame(
-                out,
-                columns=["image_id", "ok", "thumb_w", "thumb_h", "thumbnail", "caption", "error"],
-            )
+                    row = (r.image_id, False, None, None, None, r.caption, str(e)[:200])
+                    if with_quality:
+                        row += (None,) * len(QUALITY_COLS)
+                    out.append(row)
+            yield pd.DataFrame(out, columns=cols)
 
     return images.select("image_id", "bytes", "fmt", "phash", "caption").mapInPandas(
         batches, out_schema

@@ -429,3 +429,68 @@ def test_decode_verify_thumbnails_stage(spark):
         assert r["ok"] is True and r["error"] is None
         assert (r["thumb_w"], r["thumb_h"]) == (16, 12)
         assert r["caption"] == f"caption for image {int(k[3:])}"
+
+
+def test_quality_stats_closed_form():
+    """quality_stats against hand-computable images: a uniform frame has
+    zero contrast/entropy/sharpness/saturation and brightness equal to its
+    luma; a 2-level checkerboard has 1 bit of histogram entropy and a
+    Laplacian variance derivable from the 4-neighbour kernel."""
+    from chronicrawl_spark.extras.imaging import quality_stats
+
+    # uniform mid-gray RGB(100,150,200): gray = round(140.75) half-up = 141
+    px = np.zeros((16, 16, 3), dtype=np.uint8)
+    px[:, :, 0], px[:, :, 1], px[:, :, 2] = 100, 150, 200
+    b, c, e, s, sat = quality_stats(px)
+    assert b == 141.0
+    assert c == 0.0 and e == 0.0 and s == 0.0
+    assert repr(e) == "0.0"  # single-bin entropy is +0.0, never -0.0
+    assert sat == 100.0  # max-min channel range is exactly 100 everywhere
+
+    # black/white checkerboard: half pixels luma 0, half luma 255
+    px = np.zeros((16, 16, 3), dtype=np.uint8)
+    ij = np.indices((16, 16)).sum(axis=0) % 2 == 0
+    px[ij] = 255
+    b, c, e, s, sat = quality_stats(px)
+    assert b == pytest.approx(127.5)
+    assert c == pytest.approx(127.5)  # std of a fair two-point {0,255} dist
+    assert e == pytest.approx(1.0)  # two equiprobable histogram bins
+    # interior Laplacian: every neighbour differs by ±255, |lap| = 4*255
+    # with alternating sign and zero mean -> variance = (4*255)^2
+    assert s == pytest.approx((4 * 255.0) ** 2)
+    assert sat == 0.0  # grayscale: channel range 0 everywhere
+
+
+def test_decode_verify_thumbnails_with_quality(spark):
+    """with_quality=True fuses the five filter metrics into the same Arrow
+    stage; values match a driver-side recomputation bitwise, poison rows
+    carry NULL metrics."""
+    from chronicrawl_spark.extras.imaging import (
+        QUALITY_COLS,
+        decode_image,
+        decode_verify_thumbnails,
+        quality_stats,
+    )
+    from chronicrawl_spark.fixtures import make_images
+
+    imgs = make_images(spark, n=6, w=32, h=24)
+    poison = spark.createDataFrame(
+        [("bad0", b"not an image", 32, 24, "png", "x", 0)], imgs.schema
+    )
+    out = {
+        r["image_id"]: r
+        for r in decode_verify_thumbnails(
+            imgs.unionByName(poison), max_dim=16, with_quality=True
+        ).collect()
+    }
+    assert all(out["bad0"][c] is None for c in QUALITY_COLS)
+    expected = {
+        r["image_id"]: quality_stats(decode_image(bytes(r["bytes"]), r["fmt"]))
+        for r in imgs.collect()
+    }
+    for k, exp in expected.items():
+        got = tuple(out[k][c] for c in QUALITY_COLS)
+        assert got == exp, f"{k}: {got} != {exp}"
+    # sanity: the seeded gradient fixtures are non-degenerate images
+    for k in expected:
+        assert out[k]["entropy"] > 0.5 and out[k]["contrast"] > 1.0
