@@ -983,6 +983,173 @@ def quality_stats(px: np.ndarray) -> tuple:
     return brightness, contrast, entropy, sharpness, saturation
 
 
+# --------------------------------------------------------------- EXIF
+
+_EXIF_TAG_ORIENTATION = 0x0112
+
+
+def build_exif_app1(orientation: int) -> bytes:
+    """Minimal, spec-conformant APP1 EXIF segment (little-endian TIFF
+    header, one IFD0 entry: tag 0x0112 Orientation, type SHORT, count 1).
+    Used by fixtures: JPEG segments are concatenative, so EXIF can be
+    injected into an encoded stream without re-encoding pixels."""
+    if not 1 <= orientation <= 8:
+        raise ValueError(f"orientation must be 1..8, got {orientation}")
+    tiff = (
+        b"II" + struct.pack("<H", 42) + struct.pack("<I", 8)  # header → IFD0 at 8
+        + struct.pack("<H", 1)  # 1 entry
+        + struct.pack("<HHI", _EXIF_TAG_ORIENTATION, 3, 1)
+        + struct.pack("<HH", orientation, 0)  # SHORT value, left-justified pad
+        + struct.pack("<I", 0)  # no next IFD
+    )
+    payload = b"Exif\x00\x00" + tiff
+    return b"\xFF\xE1" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _jpeg_segments(data: bytes):
+    """Yield (marker, start, end) for each marker segment up to SOS; the
+    entropy-coded stream and EOI are yielded as a final pseudo-segment."""
+    if data[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xDA:  # SOS: rest of stream is entropy data + EOI
+            yield (marker, pos, len(data))
+            return
+        seglen = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        yield (marker, pos, pos + 2 + seglen)
+        pos += 2 + seglen
+
+
+def inject_exif(jpeg: bytes, orientation: int) -> bytes:
+    """Insert an APP1 orientation segment right after SOI (before any
+    existing APPn), replacing a prior APP1 if present."""
+    stripped = strip_exif(jpeg)
+    return stripped[:2] + build_exif_app1(orientation) + stripped[2:]
+
+
+def strip_exif(jpeg: bytes) -> bytes:
+    """Drop every APP1 segment (EXIF/XMP) — the privacy scrub a
+    training-data pipeline applies before publishing crawled images
+    (GPS, serial numbers, and timestamps all live in APP1)."""
+    out, last = [jpeg[:2]], 2
+    for marker, start, end in _jpeg_segments(jpeg):
+        if marker != 0xE1:
+            out.append(jpeg[start:end])
+        last = end
+    out.append(jpeg[last:])
+    return b"".join(out)
+
+
+def parse_exif_orientation(jpeg: bytes) -> int:
+    """Read the EXIF orientation tag (1..8) from a JPEG's APP1 segment;
+    1 (upright) when absent or unparseable.  Handles both II and MM byte
+    orders per TIFF 6.0."""
+    try:
+        for marker, start, end in _jpeg_segments(jpeg):
+            if marker != 0xE1 or jpeg[start + 4 : start + 10] != b"Exif\x00\x00":
+                continue
+            t = jpeg[start + 10 : end]
+            if t[:2] == b"II":
+                bo = "<"
+            elif t[:2] == b"MM":
+                bo = ">"
+            else:
+                return 1
+            ifd = struct.unpack(bo + "I", t[4:8])[0]
+            (n,) = struct.unpack(bo + "H", t[ifd : ifd + 2])
+            for i in range(n):
+                e = ifd + 2 + 12 * i
+                tag, typ, _cnt = struct.unpack(bo + "HHI", t[e : e + 8])
+                if tag == _EXIF_TAG_ORIENTATION and typ == 3:
+                    (v,) = struct.unpack(bo + "H", t[e + 8 : e + 10])
+                    return v if 1 <= v <= 8 else 1
+            return 1
+    except (struct.error, ValueError, IndexError):
+        return 1
+    return 1
+
+
+def apply_orientation(px: np.ndarray, orientation: int) -> np.ndarray:
+    """Undo an EXIF orientation: return the pixels as the camera saw the
+    scene (the transform VIEWERS apply).  The eight cases per EXIF 2.3
+    table 4.  Pure numpy views + one copy."""
+    o = orientation
+    if o == 2:
+        out = px[:, ::-1]
+    elif o == 3:
+        out = px[::-1, ::-1]
+    elif o == 4:
+        out = px[::-1, :]
+    elif o == 5:
+        out = np.rot90(px[:, ::-1], 1)
+    elif o == 6:
+        out = np.rot90(px, -1)
+    elif o == 7:
+        out = np.rot90(px[:, ::-1], -1)
+    elif o == 8:
+        out = np.rot90(px, 1)
+    else:
+        out = px
+    return np.ascontiguousarray(out)
+
+
+def exif_normalize(images, max_dim: int | None = None):
+    """EXIF normalize + scrub stage over the image+caption table: parse
+    the APP1 orientation, decode, rotate/flip the pixels upright, strip
+    the metadata, re-encode losslessly (PNG) — one Arrow-batched
+    ``mapInPandas`` with zero shuffle; payload bytes never leave the
+    executor.  Non-JPEG formats (no EXIF container) pass through as
+    orientation 1.  The scrub is the privacy pass a crawled-image corpus
+    runs before training (ref keeps raw payloads only server-side;
+    published derivatives are re-encodes, Exchange.java:198-201).
+
+    Output: (image_id, orientation, w, h, pixels_png binary, caption,
+    error) where w/h are POST-rotation dims."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("orientation", T.IntegerType()),
+            T.StructField("w", T.IntegerType()),
+            T.StructField("h", T.IntegerType()),
+            T.StructField("pixels_png", T.BinaryType()),
+            T.StructField("caption", T.StringType()),
+            T.StructField("error", T.StringType()),
+        ]
+    )
+
+    def batches(frames):
+        for pdf in frames:
+            out = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    raw = bytes(r.bytes)
+                    o = parse_exif_orientation(raw) if sniff_format(raw) == "jpeg" else 1
+                    px = apply_orientation(decode_image(raw, r.fmt), o)
+                    if max_dim is not None:
+                        tw, th = thumbnail_dims(px.shape[1], px.shape[0], max_dim)
+                        px = resize_bilinear(px, tw, th)
+                    out.append(
+                        (r.image_id, o, px.shape[1], px.shape[0], encode_png(px), r.caption, None)
+                    )
+                except Exception as e:  # noqa: BLE001 — poison-row isolation
+                    out.append((r.image_id, None, None, None, None, r.caption, str(e)[:200]))
+            yield pd.DataFrame(
+                out,
+                columns=["image_id", "orientation", "w", "h", "pixels_png", "caption", "error"],
+            )
+
+    return images.select("image_id", "bytes", "fmt", "caption").mapInPandas(
+        batches, out_schema
+    )
+
+
 # --------------------------------------------------------------- transforms
 
 def resize_bilinear(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:

@@ -494,3 +494,91 @@ def test_decode_verify_thumbnails_with_quality(spark):
     # sanity: the seeded gradient fixtures are non-degenerate images
     for k in expected:
         assert out[k]["entropy"] > 0.5 and out[k]["contrast"] > 1.0
+
+
+def test_exif_orientation_roundtrip():
+    """All eight EXIF orientations: inject → parse back → strip removes the
+    APP1 without touching pixels; MM (big-endian) TIFF parses too."""
+    import struct
+
+    from chronicrawl_spark.extras.imaging import (
+        apply_orientation,
+        decode_image,
+        encode_jpeg,
+        inject_exif,
+        make_test_image,
+        parse_exif_orientation,
+        strip_exif,
+    )
+
+    base = make_test_image(24, 16, seed=3)
+    jpg = encode_jpeg(base)
+    assert parse_exif_orientation(jpg) == 1  # no APP1 → upright
+    px = decode_image(jpg, "jpeg")
+    for o in range(1, 9):
+        tagged = inject_exif(jpg, o)
+        assert parse_exif_orientation(tagged) == o
+        assert np.array_equal(decode_image(tagged, "jpeg"), px)  # pixels untouched
+        up = apply_orientation(px, o)
+        swapped = o >= 5
+        assert (up.shape[1], up.shape[0]) == (
+            (px.shape[0], px.shape[1]) if swapped else (px.shape[1], px.shape[0])
+        )
+        stripped = strip_exif(tagged)
+        assert parse_exif_orientation(stripped) == 1
+        assert np.array_equal(decode_image(stripped, "jpeg"), px)
+    # involutions / inverses
+    assert np.array_equal(apply_orientation(apply_orientation(base, 3), 3), base)
+    assert np.array_equal(np.rot90(apply_orientation(base, 6), 1), base)
+    # big-endian TIFF header
+    tiff = (
+        b"MM" + struct.pack(">H", 42) + struct.pack(">I", 8)
+        + struct.pack(">H", 1) + struct.pack(">HHI", 0x0112, 3, 1)
+        + struct.pack(">HH", 7, 0) + struct.pack(">I", 0)
+    )
+    payload = b"Exif\x00\x00" + tiff
+    mm = jpg[:2] + b"\xFF\xE1" + struct.pack(">H", len(payload) + 2) + payload + jpg[2:]
+    assert parse_exif_orientation(mm) == 7
+    # garbage never raises
+    assert parse_exif_orientation(b"\xff\xd8\xff\xd9") == 1
+
+
+def test_exif_normalize_stage(spark):
+    """exif_normalize over a mixed table: sideways JPEG comes out upright
+    with scrubbed re-encode, non-JPEG passes through as orientation 1,
+    poison rows isolate."""
+    from chronicrawl_spark.extras.imaging import (
+        apply_orientation,
+        decode_image,
+        decode_png,
+        encode_jpeg,
+        exif_normalize,
+        inject_exif,
+        make_test_image,
+    )
+    from chronicrawl_spark.fixtures import make_images
+
+    imgs = make_images(spark, n=4, w=32, h=24)  # bmp/png/jpeg/gif cycle
+    base = make_test_image(24, 16, seed=9)
+    sideways = spark.createDataFrame(
+        [("rot6", bytearray(inject_exif(encode_jpeg(base), 6)), 24, 16, "jpeg", "cap", 0)],
+        imgs.schema,
+    )
+    poison = spark.createDataFrame(
+        [("bad0", b"not an image", 1, 1, "png", "x", 0)], imgs.schema
+    )
+    out = {
+        r["image_id"]: r
+        for r in exif_normalize(imgs.unionByName(sideways).unionByName(poison)).collect()
+    }
+    assert len(out) == 6
+    assert out["bad0"]["error"] is not None and out["bad0"]["pixels_png"] is None
+    r6 = out["rot6"]
+    assert r6["orientation"] == 6 and (r6["w"], r6["h"]) == (16, 24)  # dims swapped
+    want = apply_orientation(decode_image(inject_exif(encode_jpeg(base), 6), "jpeg"), 6)
+    assert np.array_equal(decode_png(bytes(r6["pixels_png"])), want)
+    for k, r in out.items():
+        if k in ("bad0", "rot6"):
+            continue
+        assert r["orientation"] == 1 and r["error"] is None
+        assert (r["w"], r["h"]) == (32, 24)
