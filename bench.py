@@ -55,6 +55,10 @@ HEADLINE = [
     "token_count",
     "doc_fingerprint",
     "aimd_backfill",
+    # the north-rule image phase: fused decode → phash invariant →
+    # thumbnail → quality metrics (fixture-scale; the at-scale curve is
+    # scripts/decode_scaling_bench.py → BENCH/BASELINE.md)
+    "image_decode_verify",
 ]
 
 
