@@ -1628,12 +1628,15 @@ FROM (VALUES {values})
 
 
 def q_video_frame_sample(spark, sf_dir):
-    """Multimodal video plumbing: fixtures interleave the MJPG container
-    and real ISO-BMFF MP4 files (from-scratch 14496-12 muxer/demuxer,
-    extras/mp4.py), frames are real from-scratch baseline JPEGs →
-    Arrow-batched stride-k frame sampling (reads ~1/k of each payload:
-    length prefixes on MJPG, random-access stsc/stsz/stco sample-table
-    offsets on MP4) → one row per sampled frame with dims + phash
+    """Multimodal video plumbing: fixtures cycle the MJPG container,
+    real ISO-BMFF MP4 files (from-scratch 14496-12 muxer/demuxer,
+    extras/mp4.py), and animated GIF89a (full composite semantics:
+    disposal, transparency, local palettes — imaging.decode_gif_frames);
+    MJPG/MP4 frames are real baseline JPEGs → Arrow-batched stride-k
+    frame sampling (reads ~1/k of each payload: length prefixes on MJPG,
+    random-access stsc/stsz/stco sample-table offsets on MP4; GIF
+    composites up to the last sampled frame only) → one row per sampled
+    frame with dims + phash
     (extras/media.video_frame_sample).  Foreign-codec MP4s are the
     documented pyav/ffmpeg swap-in point on a real cluster; pixel/PSNR
     invariants asserted in tests/test_media.py."""
@@ -1644,7 +1647,8 @@ def q_video_frame_sample(spark, sf_dir):
             f"vid{i:03d}",
             bytearray(
                 make_test_video(
-                    32, 24, n_frames=6, seed=i, container="mp4" if i % 2 else "mjpg"
+                    32, 24, n_frames=6, seed=i,
+                    container=("mjpg", "mp4", "gif")[i % 3],
                 )
             ),
         )
@@ -1655,10 +1659,11 @@ def q_video_frame_sample(spark, sf_dir):
 
 
 def _sql_video_frame_sample() -> str:
-    """Computable oracle for ``video_frame_sample``: the MJPG/MP4 fixtures
-    are closed-form, so the expected sampled frames (idx/dims/phash) are
-    precomputed with the same from-scratch codecs and registered as a
-    DuckDB constant table — all-integer columns, exact by construction."""
+    """Computable oracle for ``video_frame_sample``: the MJPG/MP4/GIF
+    fixtures are closed-form, so the expected sampled frames
+    (idx/dims/phash) are precomputed with the same from-scratch codecs and
+    registered as a DuckDB constant table — all-integer columns, exact by
+    construction."""
     from chronicrawl_spark.extras.media import (
         _signed64,
         decode_video_frames,
@@ -1669,7 +1674,7 @@ def _sql_video_frame_sample() -> str:
     rows = []
     for i in range(8):
         vid = make_test_video(
-            32, 24, n_frames=6, seed=i, container="mp4" if i % 2 else "mjpg"
+            32, 24, n_frames=6, seed=i, container=("mjpg", "mp4", "gif")[i % 3]
         )
         frames, _fps = decode_video_frames(vid, 2, None)
         for idx, px in frames:

@@ -6,10 +6,10 @@ and caption equality.  The sandbox has **no imaging libraries** (no PIL), so:
 
 - ``bmp`` (24-bit, uncompressed) is implemented fully — a real, lossless,
   vectorized numpy codec used end-to-end in tests and the crawl pipeline.
-- ``png`` (8-bit truecolor RGB/RGBA, non-interlaced) is implemented from
-  the public PNG spec with stdlib ``zlib``: chunk framing + CRC, all five
-  scanline filters on decode, filter-0 encode — a real lossless compressed
-  format in the pipeline.
+- ``png`` (8-bit truecolor RGB/RGBA) is implemented from the public PNG
+  spec with stdlib ``zlib``: chunk framing + CRC, all five scanline
+  filters on decode, Adam7 interlace, filter-0 encode — a real lossless
+  compressed format in the pipeline.
 - ``jpeg`` (baseline DCT, ITU-T T.81 Annex K tables) is implemented fully
   from scratch: 4:4:4 encode at configurable quality, and a decoder that
   handles generic chroma sampling, grayscale, and RSTn markers (progressive
@@ -17,7 +17,9 @@ and caption equality.  The sandbox has **no imaging libraries** (no PIL), so:
   ≈49 dB PSNR on smooth fixtures — the ≥40 dB lossy invariant is real.
 - ``gif`` (GIF87a/89a) is implemented fully from scratch: variable-width
   LSB-first LZW decode (KwKwK, width bumps, 4096 reset), 4-pass interlace,
-  first-frame composite; the encoder emits valid clear-throttled LZW.
+  and FULL animation composite (graphic-control delays, transparency,
+  disposal 0-3, local palettes) via ``decode_gif_frames``; encoders emit
+  valid clear-throttled LZW stills and multi-frame GIF89a animations.
 
 All four codecs are real — no stubs remain.  On a production cluster
 PIL/libvips would still be the sensible swap-in inside ``decode_image``
@@ -116,7 +118,8 @@ def decode_bmp(data: bytes) -> np.ndarray:
 # From the public PNG specification (RFC 2083 / W3C PNG): 8-byte signature,
 # length-type-data-CRC chunks, IDAT = zlib stream of filter-byte-prefixed
 # scanlines.  Supports 8-bit truecolor (type 2) and truecolor+alpha (type 6),
-# non-interlaced; decode handles all five filters, encode emits filter 0.
+# non-interlaced or Adam7; decode handles all five filters, encode emits
+# filter 0 non-interlaced.
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -155,42 +158,19 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)).astype(np.uint8)
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """Decode non-interlaced 8-bit truecolor PNG (RGB returned; alpha
-    dropped).  Verifies signature and per-chunk CRCs."""
-    if data[: len(_PNG_SIG)] != _PNG_SIG:
-        raise ValueError("not a PNG")
-    pos = len(_PNG_SIG)
-    idat = []
-    w = h = bpp = None
-    while pos + 8 <= len(data):
-        (ln,) = struct.unpack_from(">I", data, pos)
-        typ = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + ln]
-        (crc,) = struct.unpack_from(">I", data, pos + 8 + ln)
-        if zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
-            raise ValueError(f"bad CRC in {typ!r}")
-        if typ == b"IHDR":
-            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
-            if depth != 8 or color not in (2, 6) or comp != 0 or filt != 0 or interlace != 0:
-                raise ValueError("only 8-bit truecolor non-interlaced PNG supported")
-            bpp = 3 if color == 2 else 4
-        elif typ == b"IDAT":
-            idat.append(body)
-        elif typ == b"IEND":
-            break
-        pos += 12 + ln
-    if w is None or not idat:
-        raise ValueError("missing IHDR/IDAT")
-    raw = zlib.decompress(b"".join(idat))
+def _png_unfilter(raw: bytes, offset: int, w: int, h: int, bpp: int) -> np.ndarray:
+    """Undo PNG per-scanline filtering for one image (or one Adam7 pass):
+    ``h`` scanlines of ``1 + w*bpp`` bytes starting at ``offset``.
+    Returns (h, w*bpp) uint8."""
     stride = w * bpp
-    if len(raw) != h * (stride + 1):
+    if len(raw) < offset + h * (stride + 1):
         raise ValueError("bad IDAT length")
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
-        ft = raw[y * (stride + 1)]
-        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1)
+        base = offset + y * (stride + 1)
+        ft = raw[base]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=base + 1)
         if ft == 0:
             cur = line.copy()
         elif ft == 2:  # Up
@@ -215,7 +195,65 @@ def decode_png(data: bytes) -> np.ndarray:
                 upleft = lanes_p[x]
         out[y] = cur
         prev = cur
-    px = out.reshape(h, w, bpp)
+    return out
+
+
+# Adam7 pass grid: (x0, y0, dx, dy) per PNG spec §8.2
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode 8-bit truecolor PNG, non-interlaced or Adam7-interlaced
+    (RGB returned; alpha dropped).  Verifies signature and per-chunk
+    CRCs.  Each Adam7 pass is its own filtered sub-image (filters predict
+    within the pass, not across passes), unfiltered independently and
+    scattered onto the full-frame grid."""
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = len(_PNG_SIG)
+    idat = []
+    w = h = bpp = None
+    interlace = 0
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        typ = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + ln)
+        if zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {typ!r}")
+        if typ == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
+            if depth != 8 or color not in (2, 6) or comp != 0 or filt != 0 or interlace not in (0, 1):
+                raise ValueError("only 8-bit truecolor PNG supported")
+            bpp = 3 if color == 2 else 4
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    if interlace == 0:
+        if len(raw) != h * (w * bpp + 1):
+            raise ValueError("bad IDAT length")
+        px = _png_unfilter(raw, 0, w, h, bpp).reshape(h, w, bpp)
+    else:
+        px = np.zeros((h, w, bpp), dtype=np.uint8)
+        offset = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub = _png_unfilter(raw, offset, pw, ph, bpp).reshape(ph, pw, bpp)
+            px[y0::dy, x0::dx] = sub
+            offset += ph * (pw * bpp + 1)
+        if offset != len(raw):
+            raise ValueError("bad IDAT length")
     return px[:, :, :3].copy()
 
 
@@ -663,13 +701,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
 # ------------------------------------------------------------------ GIF codec
 # GIF87a/89a from the public spec: logical screen descriptor, color tables,
-# graphic-control/application extensions (skipped), image descriptor with
-# optional local palette + interlacing, and variable-width LSB-first LZW
-# image data in 255-byte sub-blocks.  Decode returns the FIRST frame
-# composited on the background (the "decode/verify" contract for the crawl
-# payload axis; animation frame-sampling would iterate the same loop).
-# Encode writes a single-frame GIF89a with a global palette and the
-# classic clear-code-throttled LZW (dictionary never grows past the
+# graphic-control/application extensions, image descriptor with optional
+# local palette + interlacing, and variable-width LSB-first LZW image data
+# in 255-byte sub-blocks.  ``decode_gif_frames`` implements the full
+# animation composite (delay/transparency/disposal); ``decode_gif`` is the
+# frame-1 view of the same loop (the "decode/verify" contract for the
+# crawl payload axis).  Encoders write GIF89a stills and animations with
+# the classic clear-code-throttled LZW (dictionary never grows past the
 # initial width — valid LZW, zero compression, trivially correct).
 
 
@@ -713,19 +751,7 @@ def encode_gif(px: np.ndarray) -> bytes:
     table = np.zeros((1 << pbits, 3), dtype=np.uint8)
     table[: len(palette)] = palette
     mcs = max(2, pbits)  # LZW minimum code size
-    clear, end = 1 << mcs, (1 << mcs) + 1
-    bw = _LsbBitWriter()
-    width = mcs + 1
-    bw.write(clear, width)
-    count = 0
-    for v in idx.reshape(-1).tolist():
-        bw.write(int(v), width)
-        count += 1
-        if count >= (1 << mcs) - 4:  # keep the dictionary from widening
-            bw.write(clear, width)
-            count = 0
-    bw.write(end, width)
-    lzw = bw.flush()
+    lzw = _gif_lzw_block(idx, mcs)
     out = bytearray()
     out += b"GIF89a"
     out += struct.pack("<HHBBB", w, h, 0x80 | ((pbits - 1) & 7) | ((pbits - 1) << 4), 0, 0)
@@ -784,8 +810,15 @@ def _lzw_decode(mcs: int, data: bytes) -> list:
     return out
 
 
-def decode_gif(data: bytes) -> np.ndarray:
-    """Decode the first frame of a GIF87a/89a to H×W×3 uint8."""
+def decode_gif_frames(data: bytes, max_frames: int | None = None):
+    """Decode frames of a GIF87a/89a animation: full composite
+    semantics from the public spec — graphic-control extensions (delay,
+    transparency index, disposal methods 0/1 leave, 2 restore-to-
+    background, 3 restore-to-previous), local color tables, interlacing.
+    Returns a list of (delay_cs, H×W×3 uint8) with each frame as the
+    VIEWER sees it (composited canvas snapshot).  ``max_frames`` stops the
+    block walk early — the decode/verify hot path reads frame 1 of a
+    10000-frame animation without paying for the rest."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     w, h, flags, bg, _ = struct.unpack_from("<HHBBB", data, 6)
@@ -795,16 +828,23 @@ def decode_gif(data: bytes) -> np.ndarray:
         n = 1 << ((flags & 7) + 1)
         gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
         pos += n * 3
-    canvas = np.zeros((h, w), dtype=np.int32)
-    if gct is not None:
-        canvas[:] = bg
+    bg_rgb = gct[bg] if gct is not None and bg < len(gct) else np.zeros(3, np.uint8)
+    canvas = np.broadcast_to(bg_rgb, (h, w, 3)).astype(np.uint8).copy()
+    frames = []
+    delay_cs, transp, disposal = 0, None, 0
     while pos < len(data):
         b = data[pos]
         pos += 1
         if b == 0x3B:  # trailer
             break
-        if b == 0x21:  # extension: label + sub-blocks, all skippable
+        if b == 0x21:  # extension
+            label = data[pos]
             pos += 1
+            if label == 0xF9 and data[pos] >= 4:  # graphic control
+                gflags = data[pos + 1]
+                (delay_cs,) = struct.unpack_from("<H", data, pos + 2)
+                transp = data[pos + 4] if gflags & 1 else None
+                disposal = (gflags >> 2) & 7
             while data[pos]:
                 pos += 1 + data[pos]
             pos += 1
@@ -818,6 +858,8 @@ def decode_gif(data: bytes) -> np.ndarray:
             n = 1 << ((iflags & 7) + 1)
             pal = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
             pos += n * 3
+        if pal is None:
+            raise ValueError("GIF frame without a color table")
         mcs = data[pos]
         pos += 1
         lzw = bytearray()
@@ -833,12 +875,88 @@ def decode_gif(data: bytes) -> np.ndarray:
             for src, dst in enumerate(rows):
                 deinter[dst] = idx[src]
             idx = deinter
-        canvas[iy : iy + ih, ix : ix + iw] = idx
-        if pal is None:
-            raise ValueError("GIF frame without a color table")
-        rgb = pal[np.clip(canvas, 0, len(pal) - 1)]
-        return rgb.astype(np.uint8)  # first frame only
-    raise ValueError("GIF contains no image data")
+        saved = canvas[iy : iy + ih, ix : ix + iw].copy() if disposal == 3 else None
+        region_rgb = pal[np.clip(idx, 0, len(pal) - 1)]
+        region = canvas[iy : iy + ih, ix : ix + iw]
+        if transp is None:
+            region[:] = region_rgb
+        else:
+            opaque = idx != transp
+            region[opaque] = region_rgb[opaque]
+        frames.append((delay_cs, canvas.copy()))
+        if max_frames is not None and len(frames) >= max_frames:
+            return frames
+        if disposal == 2:
+            canvas[iy : iy + ih, ix : ix + iw] = bg_rgb
+        elif disposal == 3:
+            canvas[iy : iy + ih, ix : ix + iw] = saved
+        delay_cs, transp, disposal = 0, None, 0
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return frames
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """Decode the first frame of a GIF87a/89a to H×W×3 uint8 (the
+    decode/verify contract for the crawl payload axis; animations go
+    through ``decode_gif_frames``)."""
+    return decode_gif_frames(data, max_frames=1)[0][1]
+
+
+def _gif_lzw_block(idx: np.ndarray, mcs: int) -> bytes:
+    """Clear-throttled LZW stream for one frame's index map (valid LZW,
+    dictionary never widens — shared by the still and animation encoders)."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    bw = _LsbBitWriter()
+    width = mcs + 1
+    bw.write(clear, width)
+    count = 0
+    for v in idx.reshape(-1).tolist():
+        bw.write(int(v), width)
+        count += 1
+        if count >= (1 << mcs) - 4:
+            bw.write(clear, width)
+            count = 0
+    bw.write(end, width)
+    return bw.flush()
+
+
+def encode_gif_animation(frames: list, delays_cs: list | None = None) -> bytes:
+    """Multi-frame GIF89a for animation fixtures: per-frame LOCAL color
+    tables (each frame palette-independent), graphic-control extension
+    with the given centisecond delays (disposal 1 = leave in place), and
+    the NETSCAPE2.0 infinite-loop application extension.  Deterministic;
+    round-trips bit-exactly through ``decode_gif_frames`` for opaque
+    full-canvas frames."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w, _ = frames[0].shape
+    if delays_cs is None:
+        delays_cs = [10] * len(frames)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0, 0, 0)  # no global color table
+    out += b"\x21\xFF\x0BNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop forever
+    for px, delay in zip(frames, delays_cs):
+        fh, fw, _ = px.shape
+        if (fh, fw) != (h, w):
+            raise ValueError("all frames must share the canvas size")
+        palette, idx = _gif_palette(px)
+        pbits = max(1, int(len(palette) - 1).bit_length())
+        table = np.zeros((1 << pbits, 3), dtype=np.uint8)
+        table[: len(palette)] = palette
+        mcs = max(2, pbits)
+        out += b"\x21\xF9\x04" + bytes([0x04]) + struct.pack("<H", delay) + b"\x00\x00"
+        out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0x80 | ((pbits - 1) & 7))
+        out += table.tobytes()
+        out.append(mcs)
+        lzw = _gif_lzw_block(idx, mcs)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
 
 
 def make_paletted_image(w: int, h: int, seed: int = 0) -> np.ndarray:

@@ -177,6 +177,21 @@ def decode_video_frames(
         from .mp4 import decode_mp4_frames
 
         return decode_mp4_frames(data, every_k, max_frames)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        # animated GIF: composite semantics force decoding every frame up
+        # to the last sampled index (disposal depends on the prior canvas),
+        # but max_frames still bounds the walk — sampling the first frames
+        # of a 10000-frame GIF reads only their blocks
+        from .imaging import decode_gif_frames
+
+        budget = None if max_frames is None else (max_frames - 1) * every_k + 1
+        frames = decode_gif_frames(data, max_frames=budget)
+        out = [(i, px) for i, (_, px) in enumerate(frames) if i % every_k == 0]
+        if max_frames is not None:
+            out = out[:max_frames]
+        delays = [d for d, _ in frames if d > 0]
+        fps = 100.0 / (sum(delays) / len(delays)) if delays else 10.0
+        return out, fps
     if data[:4] != _MJPG_MAGIC:
         raise ValueError("not an MJPG or ISO-BMFF container")
     n, fps_m = struct.unpack("<II", data[4:12])
@@ -194,9 +209,15 @@ def make_test_video(
     w: int, h: int, n_frames: int, seed: int = 0, fps: float = 10.0, container: str = "mjpg"
 ) -> bytes:
     """Deterministic video fixture: smooth frames whose pattern shifts per
-    frame (seed + frame index), muxed into the MJPG container or — with
-    ``container="mp4"`` — into a real ISO-BMFF file via the from-scratch
-    muxer."""
+    frame (seed + frame index), muxed into the MJPG container, a real
+    ISO-BMFF file (``container="mp4"``), or an animated GIF89a
+    (``container="gif"``, palette-quantized frames, delay = round(100/fps)
+    centiseconds)."""
+    if container == "gif":
+        from .imaging import encode_gif_animation, make_paletted_image
+
+        frames = [make_paletted_image(w, h, seed=seed * 1000 + i) for i in range(n_frames)]
+        return encode_gif_animation(frames, [max(1, round(100.0 / fps))] * n_frames)
     frames = [make_smooth_image(w, h, seed=seed * 1000 + i) for i in range(n_frames)]
     if container == "mp4":
         from .mp4 import encode_mp4_mjpeg

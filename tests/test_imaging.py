@@ -582,3 +582,120 @@ def test_exif_normalize_stage(spark):
             continue
         assert r["orientation"] == 1 and r["error"] is None
         assert (r["w"], r["h"]) == (32, 24)
+
+
+def test_png_adam7_interlaced_decode():
+    """Adam7-interlaced PNGs decode identically to their progressive
+    layout: build the interlaced stream test-side (7 passes, filter 0 and
+    filter 2 variants), decode, compare to the source pixels."""
+    from chronicrawl_spark.extras.imaging import _ADAM7, decode_png
+
+    for w, h, seed in [(32, 24, 1), (33, 17, 5), (8, 8, 2), (7, 3, 4), (1, 1, 0)]:
+        px = make_test_image(w, h, seed)
+        for ftype in (0, 2):
+            raw = bytearray()
+            for x0, y0, dx, dy in _ADAM7:
+                sub = px[y0::dy, x0::dx]
+                if sub.size == 0:
+                    continue
+                ph, pw, _ = sub.shape
+                prev = np.zeros(pw * 3, dtype=np.uint8)
+                for y in range(ph):
+                    cur = sub[y].reshape(pw * 3)
+                    raw.append(ftype)
+                    raw.extend((cur - prev if ftype == 2 else cur).tobytes())
+                    if ftype == 2:
+                        prev = cur
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # interlace=1
+            data = (
+                _PNG_SIG
+                + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + _png_chunk(b"IEND", b"")
+            )
+            out = decode_png(data)
+            assert np.array_equal(out, px), f"{w}x{h} seed={seed} filter={ftype}"
+
+
+def test_gif_animation_roundtrip_and_sampling():
+    """Animation encoder/decoder: N paletted frames with per-frame local
+    color tables round-trip exactly with their delays; max_frames bounds
+    the block walk."""
+    from chronicrawl_spark.extras.imaging import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif_animation,
+        make_paletted_image,
+    )
+
+    frames = [make_paletted_image(24, 16, s) for s in range(5)]
+    delays = [5, 10, 15, 20, 25]
+    data = encode_gif_animation(frames, delays)
+    out = decode_gif_frames(data)
+    assert len(out) == 5
+    for (d, px), src, ed in zip(out, frames, delays):
+        assert d == ed
+        assert np.array_equal(px, src)
+    assert len(decode_gif_frames(data, max_frames=2)) == 2
+    assert np.array_equal(decode_gif(data), frames[0])  # first-frame contract
+
+
+def test_gif_disposal_and_transparency():
+    """Hand-built two-frame GIF exercising composite semantics: frame 2 is
+    a sub-rectangle with a transparent index over frame 1 (disposal 1 =
+    leave), so uncovered and transparent pixels show frame 1 through."""
+    import struct as _s
+
+    from chronicrawl_spark.extras.imaging import _gif_lzw_block, decode_gif_frames
+
+    # global palette: 0=red 1=green 2=blue 3=white
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    out = bytearray(b"GIF89a")
+    out += _s.pack("<HHBBB", 4, 4, 0x80 | 1, 0, 0)  # 4x4 canvas, 4-color GCT
+    out += pal
+    # frame 1: full canvas, all green (index 1), disposal 1, delay 7
+    out += b"\x21\xF9\x04" + bytes([0x04]) + _s.pack("<H", 7) + b"\x00\x00"
+    out += b"\x2C" + _s.pack("<HHHHB", 0, 0, 4, 4, 0)
+    f1 = np.full((4, 4), 1, dtype=np.int32)
+    out.append(2)
+    lzw = _gif_lzw_block(f1, 2)
+    out += bytes([len(lzw)]) + lzw + b"\x00"
+    # frame 2: 2x2 at (1,1), [[blue, transparent], [transparent, white]],
+    # transparent index = 0, disposal 1
+    out += b"\x21\xF9\x04" + bytes([0x05]) + _s.pack("<H", 9) + b"\x00\x00"
+    out += b"\x2C" + _s.pack("<HHHHB", 1, 1, 2, 2, 0)
+    f2 = np.array([[2, 0], [0, 3]], dtype=np.int32)
+    out.append(2)
+    lzw = _gif_lzw_block(f2, 2)
+    out += bytes([len(lzw)]) + lzw + b"\x00"
+    out += b"\x3B"
+
+    frames = decode_gif_frames(bytes(out))
+    assert len(frames) == 2
+    d1, px1 = frames[0]
+    d2, px2 = frames[1]
+    assert (d1, d2) == (7, 9)
+    green, blue, white = (0, 255, 0), (0, 0, 255), (255, 255, 255)
+    assert np.array_equal(px1, np.full((4, 4, 3), green, np.uint8))
+    want = np.full((4, 4, 3), green, np.uint8)
+    want[1, 1] = blue
+    want[2, 2] = white  # transparent cells keep frame-1 green
+    assert np.array_equal(px2, want)
+
+
+def test_gif_animation_in_video_sampler():
+    """decode_video_frames dispatches animated GIFs: stride sampling +
+    fps from the frame delays."""
+    from chronicrawl_spark.extras.media import decode_video_frames, make_test_video
+
+    vid = make_test_video(24, 16, n_frames=6, seed=2, container="gif", fps=10.0)
+    frames, fps = decode_video_frames(vid, every_k=2)
+    assert [i for i, _ in frames] == [0, 2, 4]
+    assert fps == 10.0
+    frames2, _ = decode_video_frames(vid, every_k=2, max_frames=2)
+    assert [i for i, _ in frames2] == [0, 2]
+    from chronicrawl_spark.extras.imaging import decode_gif_frames
+
+    truth = decode_gif_frames(vid)
+    for i, px in frames:
+        assert np.array_equal(px, truth[i][1])
