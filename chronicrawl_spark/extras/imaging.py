@@ -10,11 +10,13 @@ and caption equality.  The sandbox has **no imaging libraries** (no PIL), so:
   spec with stdlib ``zlib``: chunk framing + CRC, all five scanline
   filters on decode, Adam7 interlace, filter-0 encode — a real lossless
   compressed format in the pipeline.
-- ``jpeg`` (baseline DCT, ITU-T T.81 Annex K tables) is implemented fully
-  from scratch: 4:4:4 encode at configurable quality, and a decoder that
-  handles generic chroma sampling, grayscale, and RSTn markers (progressive
-  JPEG is rejected with ``NotImplementedError``).  q95 round-trips at
-  ≈49 dB PSNR on smooth fixtures — the ≥40 dB lossy invariant is real.
+- ``jpeg`` (ITU-T T.81, Annex K tables) is implemented fully from
+  scratch: 4:4:4 baseline AND progressive (SOF2 annex G: spectral
+  selection + successive approximation) encode, and a decoder that
+  handles baseline and progressive streams, generic chroma sampling,
+  grayscale, per-scan table redefinition, and RSTn markers.  q95
+  round-trips at ≈49 dB PSNR on smooth fixtures — the ≥40 dB lossy
+  invariant is real.
 - ``gif`` (GIF87a/89a) is implemented fully from scratch: variable-width
   LSB-first LZW decode (KwKwK, width bumps, 4096 reset), 4-pass interlace,
   and FULL animation composite (graphic-control delays, transparency,
@@ -258,7 +260,7 @@ def decode_png(data: bytes) -> np.ndarray:
 
 
 # ----------------------------------------------------------------- JPEG codec
-# Baseline sequential DCT JPEG from the public ITU-T T.81 spec: Annex K
+# DCT JPEG from the public ITU-T T.81 spec (baseline + progressive): Annex K
 # quantization + Huffman tables, JFIF markers, 4:4:4 encode (no chroma
 # subsampling — maximizes fidelity for the PSNR≥40dB invariant), decoder
 # handles arbitrary sampling factors (replication upsampling), restart
@@ -562,9 +564,382 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def encode_jpeg_progressive(px: np.ndarray, quality: int = 92) -> bytes:
+    """Progressive JFIF JPEG (SOF2), 4:4:4, written from T.81 annex G with
+    the classic successive-approximation scan script:
+
+      1. DC, all components interleaved, Al=1
+      2. DC refinement, Ah=1 → Al=0 (one bit per block)
+      3-5. AC 1..63 per component, Al=1 (spectral selection + EOB runs)
+      6-8. AC refinement per component, Ah=1 → Al=0 (correction bits)
+
+    Coefficients are identical to ``encode_jpeg``'s — only the entropy
+    layout differs — so ``decode_jpeg(encode_jpeg_progressive(px))`` must
+    equal ``decode_jpeg(encode_jpeg(px))`` bit-for-bit (pinned in tests):
+    the baseline path is an independent oracle for the progressive one."""
+    h, w, _ = px.shape
+    tl, tc = _quality_tables(quality)
+    ycc = _rgb_to_ycbcr(px) - 128.0
+    dc_tabs = [_huff_codes(*_HT_DC_LUMA), _huff_codes(*_HT_DC_CHROMA)]
+    ac_tabs = [_huff_codes(*_HT_AC_LUMA), _huff_codes(*_HT_AC_CHROMA)]
+    comp_q = [tl, tc, tc]
+    comp_t = [0, 1, 1]
+    coefs = []
+    for c in range(3):
+        bl = _blocks(ycc[:, :, c])
+        flat = bl.reshape(-1, 8, 8)
+        F8 = _DCT @ flat @ _DCT.T
+        qt = comp_q[c].reshape(8, 8)
+        coefs.append(np.round(F8 / qt).astype(np.int32).reshape(-1, 64)[:, _ZIGZAG])
+    n_blocks = coefs[0].shape[0]
+
+    def pt(v: int, al: int) -> int:
+        """AC point transform: magnitude shift (divide toward zero) —
+        T.81 G.1.2.2.  DC uses the ARITHMETIC shift instead (G.1.2.1);
+        the asymmetry is the spec's, and getting it backwards corrupts
+        negative odd DCs by 2 (caught by the baseline-equality test)."""
+        return v >> al if v >= 0 else -((-v) >> al)
+
+    def dc_first(bw, al):
+        preds = [0, 0, 0]
+        for bi in range(n_blocks):
+            for c in range(3):
+                v = int(coefs[c][bi][0]) >> al  # arithmetic shift (G.1.2.1)
+                diff = v - preds[c]
+                preds[c] = v
+                size, bits = _mag_bits(diff)
+                code, ln = dc_tabs[comp_t[c]][size]
+                bw.write(code, ln)
+                if size:
+                    bw.write(bits, size)
+
+    def dc_refine(bw, al):
+        for bi in range(n_blocks):
+            for c in range(3):
+                bw.write((int(coefs[c][bi][0]) >> al) & 1, 1)
+
+    # The standard Annex-K AC tables define only the r=0 EOB symbol (0x00),
+    # so end-of-band runs are emitted one block at a time (EOBRUN=1 each);
+    # real-world encoders batch longer runs under custom DHTs — the decoder
+    # handles both (EOBRUN>1 pinned by a custom-table test).
+
+    def ac_first(bw, c, ss, se, al):
+        act = ac_tabs[comp_t[c]]
+        for bi in range(n_blocks):
+            z = coefs[c][bi]
+            band = [pt(int(z[k]), al) for k in range(ss, se + 1)]
+            if not any(band):
+                code, ln = act[0x00]
+                bw.write(code, ln)
+                continue
+            run = 0
+            last_nz = max(i for i, v in enumerate(band) if v)
+            for i in range(last_nz + 1):
+                v = band[i]
+                if v == 0:
+                    run += 1
+                    if run == 16:
+                        code, ln = act[0xF0]
+                        bw.write(code, ln)
+                        run = 0
+                    continue
+                size, bits = _mag_bits(v)
+                code, ln = act[(run << 4) | size]
+                bw.write(code, ln)
+                bw.write(bits, size)
+                run = 0
+            if last_nz < len(band) - 1:
+                code, ln = act[0x00]
+                bw.write(code, ln)
+
+    def ac_refine(bw, c, ss, se, al):
+        # T.81 G.1.2.3 encoder side: newly-significant coefficients are
+        # run-length coded with size 1 + sign bit; already-significant
+        # ones contribute correction bits appended after each symbol; a
+        # block's end-of-band emits EOB followed by the trailing history
+        # coefficients' correction bits
+        act = ac_tabs[comp_t[c]]
+        ah = al + 1
+        for bi in range(n_blocks):
+            z = coefs[c][bi]
+            absband = [abs(int(z[k])) >> al for k in range(ss, se + 1)]
+            signs = [1 if int(z[k]) >= 0 else 0 for k in range(ss, se + 1)]
+            eob = 0  # band index just past the last NEWLY-significant coeff
+            for i, a in enumerate(absband):
+                if a == 1 and (abs(int(z[ss + i])) >> ah) == 0:
+                    eob = i + 1
+            run = 0
+            corr: list = []
+            for i in range(eob):
+                a = absband[i]
+                if a == 0:
+                    run += 1
+                    if run == 16:
+                        code, ln = act[0xF0]
+                        bw.write(code, ln)
+                        for bbit in corr:
+                            bw.write(bbit, 1)
+                        corr = []
+                        run = 0
+                    continue
+                if a > 1:  # history coefficient: correction bit only
+                    corr.append(a & 1)
+                    continue
+                code, ln = act[(run << 4) | 1]
+                bw.write(code, ln)
+                bw.write(signs[i], 1)
+                for bbit in corr:
+                    bw.write(bbit, 1)
+                corr = []
+                run = 0
+            if eob < len(absband):
+                code, ln = act[0x00]  # EOBRUN of 1
+                bw.write(code, ln)
+                for i in range(eob, len(absband)):
+                    if absband[i] > 1:
+                        bw.write(absband[i] & 1, 1)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def dqt(tid, table):
+        return seg(0xDB, bytes([tid]) + bytes(int(table[i]) for i in _ZIGZAG))
+
+    def dht(cls, tid, bits, vals):
+        return seg(0xC4, bytes([(cls << 4) | tid] + bits + vals))
+
+    def sos(comp_sel, ss, se, ah, al):
+        body = bytes([len(comp_sel)])
+        for cid, tabs in comp_sel:
+            body += bytes([cid, tabs])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    out = bytearray(b"\xFF\xD8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += dqt(0, tl) + dqt(1, tc)
+    out += dht(0, 0, *_HT_DC_LUMA) + dht(1, 0, *_HT_AC_LUMA)
+    out += dht(0, 1, *_HT_DC_CHROMA) + dht(1, 1, *_HT_AC_CHROMA)
+    out += seg(
+        0xC2,
+        bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+        + bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]),
+    )
+    sel3 = [(1, 0x00), (2, 0x11), (3, 0x11)]
+    bw = _BitWriter(); dc_first(bw, 1)
+    out += sos(sel3, 0, 0, 0, 1) + bw.flush()
+    bw = _BitWriter(); dc_refine(bw, 0)
+    out += sos(sel3, 0, 0, 1, 0) + bw.flush()
+    for c, cid in ((0, 1), (1, 2), (2, 3)):
+        tabs = 0x00 if c == 0 else 0x11
+        bw = _BitWriter(); ac_first(bw, c, 1, 63, 1)
+        out += sos([(cid, tabs)], 1, 63, 0, 1) + bw.flush()
+    for c, cid in ((0, 1), (1, 2), (2, 3)):
+        tabs = 0x00 if c == 0 else 0x11
+        bw = _BitWriter(); ac_refine(bw, c, 1, 63, 0)
+        out += sos([(cid, tabs)], 1, 63, 1, 0) + bw.flush()
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+def _entropy_end(data: bytes, pos: int) -> int:
+    """First offset ≥ pos of a marker that terminates an entropy-coded
+    segment (0xFF followed by anything but a stuff byte or RSTn)."""
+    i = pos
+    while i + 1 < len(data):
+        if data[i] == 0xFF and data[i + 1] != 0x00 and not (0xD0 <= data[i + 1] <= 0xD7):
+            return i
+        i += 1
+    return len(data)
+
+
+def _skip_rst(br: _BitReader):
+    """Byte-align and consume an RSTn marker at a restart boundary."""
+    br.align()
+    while br.pos < len(br.data) and br.data[br.pos] != 0xFF:
+        br.pos += 1
+    if br.pos + 1 < len(br.data) and 0xD0 <= br.data[br.pos + 1] <= 0xD7:
+        br.pos += 2
+
+
+def _decode_scan_seq(br, scan, comps, coefs, hts, mcux, mcuy, restart_interval):
+    """Baseline interleaved scan: DC+AC per block into the zigzag
+    coefficient store."""
+    sel = scan["sel"]
+    order = [ci for ci, c in enumerate(comps) if c["id"] in sel]
+    preds = {ci: 0 for ci in order}
+    mcu_n = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                _skip_rst(br)
+                preds = {ci: 0 for ci in order}
+            mcu_n += 1
+            for ci in order:
+                c = comps[ci]
+                dct_t = hts[(0, sel[c["id"]][0])]
+                act_t = hts[(1, sel[c["id"]][1])]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        z = coefs[ci][my * c["v"] + by, mx * c["h"] + bx]
+                        size = _read_symbol(br, dct_t)
+                        diff = _extend(br.read(size), size) if size else 0
+                        preds[ci] += diff
+                        z[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _read_symbol(br, act_t)
+                            if sym == 0x00:
+                                break
+                            run, size = sym >> 4, sym & 15
+                            if size == 0:
+                                if run == 15:
+                                    k += 16
+                                    continue
+                                break
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            z[k] = _extend(br.read(size), size)
+                            k += 1
+
+
+def _decode_scan_prog(br, scan, comps, coefs, hts, mcux, mcuy, restart_interval, w, h):
+    """One progressive scan (T.81 annex G): DC first/refine (interleaved or
+    not), AC first with EOB runs, AC refinement with correction bits."""
+    sel, ss, se, ah, al = scan["sel"], scan["ss"], scan["se"], scan["ah"], scan["al"]
+    order = [ci for ci, c in enumerate(comps) if c["id"] in sel]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    preds = {ci: 0 for ci in order}
+    state = {"eobrun": 0}
+    p1 = 1 << al
+
+    def dc_block(ci, z, dct_t):
+        if ah == 0:
+            size = _read_symbol(br, dct_t)
+            diff = _extend(br.read(size), size) if size else 0
+            preds[ci] += diff
+            z[0] = preds[ci] * p1
+        else:
+            if br.read(1):
+                z[0] |= p1
+
+    def ac_first(z, act_t):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            sym = _read_symbol(br, act_t)
+            r, sz = sym >> 4, sym & 15
+            if sz == 0:
+                if r != 15:
+                    state["eobrun"] = (1 << r) - 1
+                    if r:
+                        state["eobrun"] += br.read(r)
+                    return
+                k += 16
+                continue
+            k += r
+            if k > se:
+                raise ValueError("AC index overflow")
+            z[k] = _extend(br.read(sz), sz) * p1
+            k += 1
+
+    def ac_refine(z, act_t):
+        # T.81 G.1.2.3 correction-bit algorithm (the libjpeg jdphuff shape,
+        # reimplemented from the spec text)
+        m1 = -p1
+
+        def correct(k):
+            if br.read(1) and (int(z[k]) & p1) == 0:
+                z[k] += p1 if z[k] >= 0 else m1
+
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                sym = _read_symbol(br, act_t)
+                r, sz = sym >> 4, sym & 15
+                val = 0
+                if sz == 0:
+                    if r != 15:
+                        state["eobrun"] = (1 << r)
+                        if r:
+                            state["eobrun"] += br.read(r)
+                        break
+                else:
+                    if sz != 1:
+                        raise ValueError("bad refinement size")
+                    val = p1 if br.read(1) else m1
+                while k <= se:
+                    if z[k] != 0:
+                        correct(k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    z[k] = val
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if z[k] != 0:
+                    correct(k)
+                k += 1
+            state["eobrun"] -= 1
+
+    unit_n = 0
+
+    def maybe_restart():
+        nonlocal unit_n, preds
+        if restart_interval and unit_n and unit_n % restart_interval == 0:
+            _skip_rst(br)
+            preds = {ci: 0 for ci in order}
+            state["eobrun"] = 0
+        unit_n += 1
+
+    if len(order) > 1 or (ss == 0 and len(order) == len(comps)):
+        # interleaved (DC scans only per T.81): MCU walk
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                for ci in order:
+                    c = comps[ci]
+                    dct_t = hts.get((0, sel[c["id"]][0]))
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            dc_block(ci, coefs[ci][my * c["v"] + by, mx * c["h"] + bx], dct_t)
+    else:
+        ci = order[0]
+        c = comps[ci]
+        bw_ni = -(-(-(-w * c["h"] // hmax) // -1) // 8) if False else -(-(-(-(w * c["h"]) // hmax)) // 8)
+        # component sample dims: ceil(w*h_i/hmax) × ceil(h*v_i/vmax); blocks = ceil(samples/8)
+        cw = -(-(w * c["h"]) // hmax)
+        ch_ = -(-(h * c["v"]) // vmax)
+        bw_ni = -(-cw // 8)
+        bh_ni = -(-ch_ // 8)
+        dct_t = hts.get((0, sel[c["id"]][0]))
+        act_t = hts.get((1, sel[c["id"]][1]))
+        for byy in range(bh_ni):
+            for bxx in range(bw_ni):
+                maybe_restart()
+                z = coefs[ci][byy, bxx]
+                if ss == 0:
+                    dc_block(ci, z, dct_t)
+                elif ah == 0:
+                    ac_first(z, act_t)
+                else:
+                    ac_refine(z, act_t)
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline sequential JPEG decoder (T.81): arbitrary sampling factors,
-    restart markers, Annex-B marker framing.  Progressive (SOF2) raises."""
+    """JPEG decoder (T.81): baseline sequential (SOF0/SOF1) AND progressive
+    (SOF2, annex G — spectral selection + successive approximation, DC and
+    AC refinement scans, EOB runs), arbitrary sampling factors, restart
+    markers, per-scan Huffman table redefinition, Annex-B framing.  All
+    scans accumulate into one zigzag coefficient store; dequantization +
+    IDCT run once, batched over every block of every component."""
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -573,7 +948,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comps = None
     h = w = None
     restart_interval = 0
-    scan = None
+    progressive = False
+    scans = []
     while pos < len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -606,14 +982,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(body[off + 17 : off + 17 + nv])
                 hts[(cls, tid)] = _huff_decode_table(bits, vals)
                 off += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:
+        elif marker in (0xC0, 0xC1, 0xC2):
+            progressive = marker == 0xC2
             _prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
             comps = []
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i], body[7 + 3 * i], body[8 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG unsupported (baseline decoder)")
         elif marker == 0xDD:
             restart_interval = struct.unpack(">H", body)[0]
         elif marker == 0xDA:
@@ -622,70 +997,43 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(ns):
                 cid, tabs = body[1 + 2 * i], body[2 + 2 * i]
                 sel[cid] = (tabs >> 4, tabs & 15)
-            scan = (pos, sel)
-            break
-    if comps is None or scan is None:
+            ss, se, a = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            end = _entropy_end(data, pos)
+            scans.append({
+                "sel": sel, "ss": ss, "se": se, "ah": a >> 4, "al": a & 15,
+                "start": pos, "end": end, "hts": dict(hts),
+                "ri": restart_interval,
+            })
+            pos = end
+            if not progressive:
+                break  # baseline: single scan
+    if comps is None or not scans:
         raise ValueError("missing SOF/SOS")
-    scan_start, sel = scan
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    planes = []
-    for c in comps:
-        planes.append(np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8)))
-    br = _BitReader(data[scan_start:])
-    preds = [0] * len(comps)
-    mcu_n = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
-                br.align()
-                # skip the RSTn marker
-                while br.pos < len(br.data) and br.data[br.pos] != 0xFF:
-                    br.pos += 1
-                if br.pos + 1 < len(br.data) and 0xD0 <= br.data[br.pos + 1] <= 0xD7:
-                    br.pos += 2
-                preds = [0] * len(comps)
-            mcu_n += 1
-            for ci, c in enumerate(comps):
-                dct_t = hts[(0, sel[c["id"]][0])]
-                act_t = hts[(1, sel[c["id"]][1])]
-                qt = qts[c["tq"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        z = np.zeros(64)
-                        size = _read_symbol(br, dct_t)
-                        diff = _extend(br.read(size), size) if size else 0
-                        preds[ci] += diff
-                        z[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            sym = _read_symbol(br, act_t)
-                            if sym == 0x00:
-                                break
-                            run, size = sym >> 4, sym & 15
-                            if size == 0:
-                                if run == 15:
-                                    k += 16
-                                    continue
-                                break
-                            k += run
-                            if k > 63:
-                                raise ValueError("AC index overflow")
-                            z[k] = _extend(br.read(size), size)
-                            k += 1
-                        # z is zigzag-ordered, qt raster-ordered: unzigzag first
-                        blk = (z[_UNZIGZAG] * qt).reshape(8, 8)
-                        pxb = _DCT.T @ blk @ _DCT + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pxb
-    # upsample to full resolution (pixel replication) and crop
+    coefs = [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32) for c in comps
+    ]
+    for scan in scans:
+        br = _BitReader(data[scan["start"] : scan["end"]])
+        if progressive:
+            _decode_scan_prog(br, scan, comps, coefs, scan["hts"], mcux, mcuy, scan["ri"], w, h)
+        else:
+            _decode_scan_seq(br, scan, comps, coefs, scan["hts"], mcux, mcuy, scan["ri"])
+    # shared reconstruction: dequantize + batched IDCT + upsample + color
     full = []
     for ci, c in enumerate(comps):
+        qt = qts[c["tq"]]
+        blk = (coefs[ci][:, :, _UNZIGZAG] * qt).reshape(
+            coefs[ci].shape[0], coefs[ci].shape[1], 8, 8
+        )
+        pxb = np.einsum("ij,byjk,kl->byil", _DCT.T, blk, _DCT) + 128.0
+        by_, bx_ = pxb.shape[0], pxb.shape[1]
+        plane = pxb.transpose(0, 2, 1, 3).reshape(by_ * 8, bx_ * 8)
         fy, fx = vmax // c["v"], hmax // c["h"]
-        p = np.repeat(np.repeat(planes[ci], fy, axis=0), fx, axis=1)
+        p = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
         full.append(p[:h, :w])
     if len(full) == 1:
         y = full[0]

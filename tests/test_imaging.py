@@ -260,10 +260,6 @@ def test_jpeg_marker_structure():
         assert marker in data
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01\x02")
-    # progressive SOF2 must raise, not silently misdecode
-    prog = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(NotImplementedError):
-        decode_jpeg(prog)
 
 
 def test_jpeg_decoder_handles_grayscale():
@@ -699,3 +695,118 @@ def test_gif_animation_in_video_sampler():
     truth = decode_gif_frames(vid)
     for i, px in frames:
         assert np.array_equal(px, truth[i][1])
+
+
+def test_jpeg_progressive_equals_baseline():
+    """Progressive (SOF2) encode→decode must reproduce the baseline
+    decode bit-for-bit: both paths share the quantized coefficients, so
+    the independent baseline decoder is an exact oracle for the whole
+    progressive stack (DC successive approximation + refinement, AC
+    spectral band + refinement correction bits, EOB handling)."""
+    from chronicrawl_spark.extras.imaging import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+        make_smooth_image,
+    )
+
+    for w, h, seed in [(16, 16, 1), (33, 17, 5), (64, 48, 9), (7, 5, 3)]:
+        for maker in (make_smooth_image, make_test_image):
+            px = maker(w, h, seed)
+            prog = encode_jpeg_progressive(px)
+            assert b"\xff\xc2" in prog  # SOF2 present
+            assert prog.count(b"\xff\xda") == 8  # the 8-scan script
+            assert np.array_equal(decode_jpeg(prog), decode_jpeg(encode_jpeg(px)))
+    # PSNR invariant holds through the progressive path too
+    px = make_smooth_image(32, 24, 2)
+    out = decode_jpeg(encode_jpeg_progressive(px, quality=95))
+    assert psnr(px, out) >= 40
+
+
+def test_jpeg_progressive_eobrun_multiblock():
+    """EOBRUN > 1 decode paths (real-world encoders batch end-of-band runs
+    under custom Huffman tables; ours emits r=0 only): drive
+    _decode_scan_prog directly with a custom table containing the 0x10
+    EOBRUN symbol for both the AC-first and AC-refinement scans."""
+    from chronicrawl_spark.extras.imaging import (
+        _BitReader,
+        _BitWriter,
+        _decode_scan_prog,
+        _huff_decode_table,
+    )
+
+    # canonical table: five 3-bit symbols
+    bits = [0, 0, 5] + [0] * 13
+    vals = [0x00, 0x10, 0x01, 0x21, 0xF0]
+    act = _huff_decode_table(bits, vals)
+    enc = {v: (i, 3) for i, v in enumerate(vals)}
+    comps = [{"id": 1, "h": 1, "v": 1, "tq": 0}]
+
+    def run_scan(write, seed_coefs=None, ah=0, al=1):
+        coefs = [np.zeros((2, 2, 64), dtype=np.int32)]
+        if seed_coefs is not None:
+            coefs[0][:] = seed_coefs
+        bw = _BitWriter()
+        write(bw)
+        scan = {"sel": {1: (0, 0)}, "ss": 1, "se": 63, "ah": ah, "al": al,
+                "ri": 0}
+        _decode_scan_prog(
+            _BitReader(bw.flush()), scan, comps, coefs,
+            {(0, 0): act, (1, 0): act}, 2, 2, 0, 16, 16,
+        )
+        return coefs[0].reshape(4, 64)
+
+    # AC-first: block0 has +1 at k=1 then EOB; blocks 1-3 covered by one
+    # EOBRUN symbol (0x10, ext bit 1 → run 2) plus block3's own EOB... the
+    # 0x10+bit=1 gives eobrun = (1<<1)-1+1 = 2 → blocks 1 and 2; block 3
+    # gets a plain EOB
+    def w1(bw):
+        c, ln = enc[0x01]; bw.write(c, ln); bw.write(1, 1)  # +1 at k=1
+        c, ln = enc[0x00]; bw.write(c, ln)                  # EOB block0
+        c, ln = enc[0x10]; bw.write(c, ln); bw.write(1, 1)  # EOBRUN=2 (blk1,2)
+        c, ln = enc[0x00]; bw.write(c, ln)                  # EOB block3
+
+    out = run_scan(w1, ah=0, al=1)
+    assert out[0][1] == 2  # +1 << Al
+    assert not out[1:].any()
+
+    # AC-refine with history: blocks 0-3 all hold coefficient 2 at k=1
+    # (from the prior scan).  One EOBRUN symbol (0x10, ext 0 → run 2)
+    # covers blocks 0-1 with one correction bit each (1 → 3, 0 → stays 2);
+    # blocks 2-3 each take a plain EOB + correction bit.
+    seed = np.zeros((2, 2, 64), dtype=np.int32)
+    seed[:, :, 1] = 2
+
+    def w2(bw):
+        c, ln = enc[0x10]; bw.write(c, ln); bw.write(0, 1)  # eobrun = 2
+        bw.write(1, 1)  # block0 correction: 2 -> 3
+        bw.write(0, 1)  # block1 correction: stays 2
+        c, ln = enc[0x00]; bw.write(c, ln); bw.write(1, 1)  # block2 -> 3
+        c, ln = enc[0x00]; bw.write(c, ln); bw.write(0, 1)  # block3 stays
+    out = run_scan(w2, seed_coefs=seed, ah=1, al=0)
+    assert [int(v) for v in out[:, 1]] == [3, 2, 3, 2]
+
+
+def test_progressive_jpeg_through_fused_stage(spark):
+    """A progressive-JPEG payload flows through decode_verify_thumbnails
+    like any other jpeg (fmt dispatch is container-level; the decoder
+    handles SOF0/SOF2 transparently)."""
+    from chronicrawl_spark.extras.imaging import (
+        decode_jpeg,
+        decode_verify_thumbnails,
+        encode_jpeg_progressive,
+        make_smooth_image,
+        phash64,
+    )
+    from chronicrawl_spark.fixtures import make_images
+
+    base = make_smooth_image(32, 24, seed=6)
+    data = encode_jpeg_progressive(base)
+    ph = phash64(decode_jpeg(data))
+    schema = make_images(spark, n=1, w=32, h=24).schema
+    row = spark.createDataFrame(
+        [("prog0", bytearray(data), 32, 24, "jpeg", "cap", ph)], schema
+    )
+    out = decode_verify_thumbnails(row, max_dim=16).collect()
+    assert len(out) == 1 and out[0]["ok"] is True and out[0]["error"] is None
+    assert (out[0]["thumb_w"], out[0]["thumb_h"]) == (16, 12)
