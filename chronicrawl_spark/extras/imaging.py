@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import struct
 import zlib
+from functools import lru_cache
 
 import numpy as np
 
@@ -534,30 +535,58 @@ class _BitReader:
         self.acc = 0
 
 
-def _huff_decode_table(bits, vals):
-    """length -> {code: symbol} nested lookup for sequential decoding."""
-    table = {}
-    code, i = 0, 0
-    for length in range(1, 17):
-        lt = {}
-        for _ in range(bits[length - 1]):
-            lt[code] = vals[i]
-            code += 1
-            i += 1
-        if lt:
-            table[length] = lt
-        code <<= 1
-    return table
+class _HuffTable:
+    """Flat 16-bit-prefix decode LUT: ``lut[next16bits] -> (symbol, length)``.
+
+    Canonical JPEG codes are ≤16 bits and prefix-free, so every 16-bit
+    window maps to exactly one (symbol, code length) — one list index
+    replaces the old walk of up to 16 single-bit reads per symbol (the
+    decode profile's #1 hot spot).  ``None`` entries are prefixes that
+    no code owns (corrupt stream → ValueError, matching the old walk)."""
+
+    __slots__ = ("lut",)
+
+    def __init__(self, bits, vals):
+        lut = [None] * 65536
+        code, i = 0, 0
+        for length in range(1, 17):
+            span = 1 << (16 - length)
+            for _ in range(bits[length - 1]):
+                start = code << (16 - length)
+                lut[start:start + span] = [(vals[i], length)] * span
+                code += 1
+                i += 1
+            code <<= 1
+        self.lut = lut
 
 
-def _read_symbol(br: _BitReader, table) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.read(1)
-        lt = table.get(length)
-        if lt is not None and code in lt:
-            return lt[code]
-    raise ValueError("invalid Huffman code")
+@lru_cache(maxsize=64)
+def _huff_table_cached(bits_t, vals_t) -> _HuffTable:
+    # LUT construction fills 65536 slots; real streams reuse the Annex-K
+    # tables across every image in a batch, so cache by table spec.
+    return _HuffTable(bits_t, vals_t)
+
+
+def _huff_decode_table(bits, vals) -> _HuffTable:
+    return _huff_table_cached(tuple(bits), tuple(vals))
+
+
+def _read_symbol(br: _BitReader, table: _HuffTable) -> int:
+    br._fill()
+    n = br.n
+    # 16-bit peek, zero-padded past stream end exactly like read()
+    window = (br.acc >> (n - 16)) if n >= 16 else (br.acc << (16 - n)) & 0xFFFF
+    hit = table.lut[window & 0xFFFF]
+    if hit is None:
+        raise ValueError("invalid Huffman code")
+    sym, ln = hit
+    if n < ln:
+        br.acc <<= ln - n
+        n = ln
+    n -= ln
+    br.acc &= (1 << n) - 1
+    br.n = n
+    return sym
 
 
 def _extend(v: int, size: int) -> int:
