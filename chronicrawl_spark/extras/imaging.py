@@ -402,6 +402,12 @@ class _BitWriter:
             self.write(0x7F, 8 - self.n)  # pad with 1s
         return bytes(self.buf)
 
+    def restart(self, m: int):
+        """Byte-align (1-padded) and emit an unstuffed RSTm marker."""
+        if self.n:
+            self.write(0x7F, 8 - self.n)
+        self.buf += bytes([0xFF, 0xD0 + (m & 7)])
+
 
 def _mag_bits(v: int):
     """(size, code-bits) for a DC diff / AC coefficient value."""
@@ -412,8 +418,11 @@ def _mag_bits(v: int):
     return size, (v if v > 0 else v + (1 << size) - 1)
 
 
-def encode_jpeg(px: np.ndarray, quality: int = 92) -> bytes:
-    """Baseline JFIF JPEG, 4:4:4, Annex K tables scaled by ``quality``."""
+def encode_jpeg(px: np.ndarray, quality: int = 92, restart_interval: int = 0) -> bytes:
+    """Baseline JFIF JPEG, 4:4:4, Annex K tables scaled by ``quality``.
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (coefficients are unchanged, so decode output must be
+    identical to the unmarked stream — pinned in tests)."""
     h, w, _ = px.shape
     tl, tc = _quality_tables(quality)
     ycc = _rgb_to_ycbcr(px) - 128.0
@@ -436,7 +445,12 @@ def encode_jpeg(px: np.ndarray, quality: int = 92) -> bytes:
     bw = _BitWriter()
     preds = [0, 0, 0]
     n_blocks = coefs[0].shape[0]
+    rst_m = 0
     for bi in range(n_blocks):  # 4:4:4 MCU = one block per component
+        if restart_interval and bi and bi % restart_interval == 0:
+            bw.restart(rst_m)
+            rst_m = (rst_m + 1) & 7
+            preds = [0, 0, 0]
         for c in range(3):
             z = coefs[c][bi]
             dct_t, act_t = dc_tabs[comp_t[c]], ac_tabs[comp_t[c]]
@@ -485,11 +499,12 @@ def encode_jpeg(px: np.ndarray, quality: int = 92) -> bytes:
     )
     sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     jfif = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     return (
         b"\xFF\xD8" + jfif + dqt(0, tl) + dqt(1, tc)
         + dht(0, 0, *_HT_DC_LUMA) + dht(1, 0, *_HT_AC_LUMA)
         + dht(0, 1, *_HT_DC_CHROMA) + dht(1, 1, *_HT_AC_CHROMA)
-        + sof + sos + entropy + b"\xFF\xD9"
+        + dri + sof + sos + entropy + b"\xFF\xD9"
     )
 
 
@@ -593,7 +608,8 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def encode_jpeg_progressive(px: np.ndarray, quality: int = 92) -> bytes:
+def encode_jpeg_progressive(px: np.ndarray, quality: int = 92,
+                            restart_interval: int = 0) -> bytes:
     """Progressive JFIF JPEG (SOF2), 4:4:4, written from T.81 annex G with
     the classic successive-approximation scan script:
 
@@ -605,7 +621,12 @@ def encode_jpeg_progressive(px: np.ndarray, quality: int = 92) -> bytes:
     Coefficients are identical to ``encode_jpeg``'s — only the entropy
     layout differs — so ``decode_jpeg(encode_jpeg_progressive(px))`` must
     equal ``decode_jpeg(encode_jpeg(px))`` bit-for-bit (pinned in tests):
-    the baseline path is an independent oracle for the progressive one."""
+    the baseline path is an independent oracle for the progressive one.
+
+    ``restart_interval`` > 0 emits DRI + RSTn every that many data units
+    in EVERY scan (marker count restarting at RST0 per scan, T.81 E.1.4)
+    — exercises the decoder's progressive restart path, including the
+    EOB-run and DC-predictor resets."""
     h, w, _ = px.shape
     tl, tc = _quality_tables(quality)
     ycc = _rgb_to_ycbcr(px) - 128.0
@@ -629,9 +650,20 @@ def encode_jpeg_progressive(px: np.ndarray, quality: int = 92) -> bytes:
         negative odd DCs by 2 (caught by the baseline-equality test)."""
         return v >> al if v >= 0 else -((-v) >> al)
 
+    def scan_rst(bw, bi, state) -> bool:
+        """Emit RSTn at a restart boundary; True means reset predictors."""
+        if restart_interval and bi and bi % restart_interval == 0:
+            bw.restart(state[0])
+            state[0] = (state[0] + 1) & 7
+            return True
+        return False
+
     def dc_first(bw, al):
         preds = [0, 0, 0]
+        rst = [0]
         for bi in range(n_blocks):
+            if scan_rst(bw, bi, rst):
+                preds = [0, 0, 0]
             for c in range(3):
                 v = int(coefs[c][bi][0]) >> al  # arithmetic shift (G.1.2.1)
                 diff = v - preds[c]
@@ -643,7 +675,9 @@ def encode_jpeg_progressive(px: np.ndarray, quality: int = 92) -> bytes:
                     bw.write(bits, size)
 
     def dc_refine(bw, al):
+        rst = [0]
         for bi in range(n_blocks):
+            scan_rst(bw, bi, rst)
             for c in range(3):
                 bw.write((int(coefs[c][bi][0]) >> al) & 1, 1)
 
@@ -654,7 +688,9 @@ def encode_jpeg_progressive(px: np.ndarray, quality: int = 92) -> bytes:
 
     def ac_first(bw, c, ss, se, al):
         act = ac_tabs[comp_t[c]]
+        rst = [0]
         for bi in range(n_blocks):
+            scan_rst(bw, bi, rst)
             z = coefs[c][bi]
             band = [pt(int(z[k]), al) for k in range(ss, se + 1)]
             if not any(band):
@@ -689,7 +725,9 @@ def encode_jpeg_progressive(px: np.ndarray, quality: int = 92) -> bytes:
         # coefficients' correction bits
         act = ac_tabs[comp_t[c]]
         ah = al + 1
+        rst = [0]
         for bi in range(n_blocks):
+            scan_rst(bw, bi, rst)
             z = coefs[c][bi]
             absband = [abs(int(z[k])) >> al for k in range(ss, se + 1)]
             signs = [1 if int(z[k]) >= 0 else 0 for k in range(ss, se + 1)]
@@ -748,6 +786,8 @@ def encode_jpeg_progressive(px: np.ndarray, quality: int = 92) -> bytes:
     out += dqt(0, tl) + dqt(1, tc)
     out += dht(0, 0, *_HT_DC_LUMA) + dht(1, 0, *_HT_AC_LUMA)
     out += dht(0, 1, *_HT_DC_CHROMA) + dht(1, 1, *_HT_AC_CHROMA)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     out += seg(
         0xC2,
         bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
@@ -792,31 +832,98 @@ def _skip_rst(br: _BitReader):
 
 def _decode_scan_seq(br, scan, comps, coefs, hts, mcux, mcuy, restart_interval):
     """Baseline interleaved scan: DC+AC per block into the zigzag
-    coefficient store."""
+    coefficient store.
+
+    The bit reader is INLINED into this loop (acc/n/pos held in locals,
+    one zero-stuff-aware fill to ≥31 bits per coefficient covers the
+    16-bit Huffman window plus the ≤15 magnitude bits) — this is the
+    whole-image hot loop, and hoisting ~1.4M _BitReader method calls per
+    megapixel out of it measured ~1.8× on the fixture batch.  Semantics
+    are bit-identical to _read_symbol/_BitReader.read (same LUT, same
+    zero padding past markers/stream end); _skip_rst still runs on the
+    shared reader, with locals committed/reloaded around it."""
     sel = scan["sel"]
     order = [ci for ci, c in enumerate(comps) if c["id"] in sel]
-    preds = {ci: 0 for ci in order}
+    comp_info = [
+        (ci, comps[ci]["h"], comps[ci]["v"],
+         hts[(0, sel[comps[ci]["id"]][0])].lut,
+         hts[(1, sel[comps[ci]["id"]][1])].lut,
+         coefs[ci])
+        for ci in order
+    ]
+    preds = [0] * len(comps)
+    data = br.data
+    ln_data = len(data)
+    pos, acc, n = br.pos, br.acc, br.n
     mcu_n = 0
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                br.pos, br.acc, br.n = pos, acc, n
                 _skip_rst(br)
-                preds = {ci: 0 for ci in order}
+                pos, acc, n = br.pos, br.acc, br.n
+                preds = [0] * len(comps)
             mcu_n += 1
-            for ci in order:
-                c = comps[ci]
-                dct_t = hts[(0, sel[c["id"]][0])]
-                act_t = hts[(1, sel[c["id"]][1])]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        z = coefs[ci][my * c["v"] + by, mx * c["h"] + bx]
-                        size = _read_symbol(br, dct_t)
-                        diff = _extend(br.read(size), size) if size else 0
-                        preds[ci] += diff
+            for ci, ch, cv, dct_lut, act_lut, cf in comp_info:
+                for by in range(cv):
+                    row = cf[my * cv + by]
+                    for bx in range(ch):
+                        z = row[mx * ch + bx]
+                        while n < 31 and pos < ln_data:
+                            b = data[pos]
+                            pos += 1
+                            if b == 0xFF:
+                                nxt = data[pos] if pos < ln_data else 0
+                                if nxt == 0x00:
+                                    pos += 1
+                                else:
+                                    pos -= 1
+                                    b = 0
+                            acc = (acc << 8) | b
+                            n += 8
+                        window = (acc >> (n - 16)) if n >= 16 else (acc << (16 - n)) & 0xFFFF
+                        hit = dct_lut[window & 0xFFFF]
+                        if hit is None:
+                            raise ValueError("invalid Huffman code")
+                        size, ln2 = hit
+                        if n < ln2:
+                            acc <<= ln2 - n
+                            n = ln2
+                        n -= ln2
+                        acc &= (1 << n) - 1
+                        if size:
+                            if n < size:
+                                acc <<= size - n
+                                n = size
+                            v = (acc >> (n - size)) & ((1 << size) - 1)
+                            n -= size
+                            acc &= (1 << n) - 1
+                            preds[ci] += v if v >= (1 << (size - 1)) else v - (1 << size) + 1
                         z[0] = preds[ci]
                         k = 1
                         while k < 64:
-                            sym = _read_symbol(br, act_t)
+                            while n < 31 and pos < ln_data:
+                                b = data[pos]
+                                pos += 1
+                                if b == 0xFF:
+                                    nxt = data[pos] if pos < ln_data else 0
+                                    if nxt == 0x00:
+                                        pos += 1
+                                    else:
+                                        pos -= 1
+                                        b = 0
+                                acc = (acc << 8) | b
+                                n += 8
+                            window = (acc >> (n - 16)) if n >= 16 else (acc << (16 - n)) & 0xFFFF
+                            hit = act_lut[window & 0xFFFF]
+                            if hit is None:
+                                raise ValueError("invalid Huffman code")
+                            sym, ln2 = hit
+                            if n < ln2:
+                                acc <<= ln2 - n
+                                n = ln2
+                            n -= ln2
+                            acc &= (1 << n) - 1
                             if sym == 0x00:
                                 break
                             run, size = sym >> 4, sym & 15
@@ -828,8 +935,15 @@ def _decode_scan_seq(br, scan, comps, coefs, hts, mcux, mcuy, restart_interval):
                             k += run
                             if k > 63:
                                 raise ValueError("AC index overflow")
-                            z[k] = _extend(br.read(size), size)
+                            if n < size:
+                                acc <<= size - n
+                                n = size
+                            v = (acc >> (n - size)) & ((1 << size) - 1)
+                            n -= size
+                            acc &= (1 << n) - 1
+                            z[k] = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
                             k += 1
+    br.pos, br.acc, br.n = pos, acc, n
 
 
 def _decode_scan_prog(br, scan, comps, coefs, hts, mcux, mcuy, restart_interval, w, h):

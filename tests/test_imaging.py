@@ -810,3 +810,43 @@ def test_progressive_jpeg_through_fused_stage(spark):
     out = decode_verify_thumbnails(row, max_dim=16).collect()
     assert len(out) == 1 and out[0]["ok"] is True and out[0]["error"] is None
     assert (out[0]["thumb_w"], out[0]["thumb_h"]) == (16, 12)
+
+
+def test_jpeg_restart_markers_baseline():
+    """DRI + RSTn streams must decode identically to the unmarked stream
+    (coefficients are unchanged; only entropy segmentation differs).
+    Pins the inlined scan loop's commit/reload around _skip_rst and the
+    DC-predictor reset at each restart boundary."""
+    from chronicrawl_spark.extras.imaging import decode_jpeg, encode_jpeg
+
+    for w, h in [(128, 96), (33, 17), (17, 9)]:
+        px = make_test_image(w, h, 2)
+        plain = decode_jpeg(encode_jpeg(px))
+        n_mcus = -(-w // 8) * -(-h // 8)
+        for ri in (1, 2, 5, 9):
+            data = encode_jpeg(px, restart_interval=ri)
+            assert b"\xff\xdd" in data  # DRI present
+            if ri < n_mcus:  # a boundary exists → markers must too
+                assert any(bytes([0xFF, 0xD0 + m]) in data for m in range(8))
+            assert np.array_equal(decode_jpeg(data), plain), (w, h, ri)
+
+
+def test_jpeg_restart_markers_progressive():
+    """RSTn inside every progressive scan (DC first/refine, AC band,
+    AC refinement): exercises the decoder's per-scan restart handling —
+    EOB-run reset and DC-predictor reset — against the baseline oracle."""
+    from chronicrawl_spark.extras.imaging import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+        make_smooth_image,
+    )
+
+    for w, h in [(33, 17), (64, 48)]:
+        for maker in (make_test_image, make_smooth_image):
+            px = maker(w, h, 2)
+            plain = decode_jpeg(encode_jpeg(px))
+            for ri in (1, 3, 7):
+                data = encode_jpeg_progressive(px, restart_interval=ri)
+                assert b"\xff\xdd" in data
+                assert np.array_equal(decode_jpeg(data), plain), (w, h, ri)
