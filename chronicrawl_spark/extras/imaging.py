@@ -1264,22 +1264,23 @@ def _lzw_decode(mcs: int, data: bytes) -> list:
     table = list(base)
     out: list = []
     prev = None
+    # bit extraction inlined in the loop (locals, no per-code function
+    # call): the LZW code walk is the GIF decode hot loop
     bitpos, nbits = 0, len(data) * 8
-
-    def read_code():
-        nonlocal bitpos
-        if bitpos + width > nbits:
-            return end
-        byte_i, bit_i = bitpos >> 3, bitpos & 7
-        v = (int.from_bytes(data[byte_i : byte_i + 3], "little") >> bit_i) & ((1 << width) - 1)
-        bitpos += width
-        return v
-
+    mask = (1 << width) - 1
+    cap = 1 << width
+    from_bytes = int.from_bytes
     while True:
-        code = read_code()
+        if bitpos + width > nbits:
+            break  # ran off the stream: treat as end-of-information
+        byte_i = bitpos >> 3
+        code = (from_bytes(data[byte_i : byte_i + 3], "little") >> (bitpos & 7)) & mask
+        bitpos += width
         if code == clear:
             table = list(base)
             width = mcs + 1
+            mask = (1 << width) - 1
+            cap = 1 << width
             prev = None
             continue
         if code == end:
@@ -1296,8 +1297,10 @@ def _lzw_decode(mcs: int, data: bytes) -> list:
             raise ValueError("corrupt LZW stream")
         out.extend(entry)
         prev = entry
-        if len(table) >= (1 << width) and width < 12:
+        if len(table) >= cap and width < 12:
             width += 1
+            mask = (1 << width) - 1
+            cap = 1 << width
     return out
 
 
