@@ -812,13 +812,22 @@ def encode_jpeg_progressive(px: np.ndarray, quality: int = 92,
 
 def _entropy_end(data: bytes, pos: int) -> int:
     """First offset ≥ pos of a marker that terminates an entropy-coded
-    segment (0xFF followed by anything but a stuff byte or RSTn)."""
+    segment (0xFF followed by anything but a stuff byte or RSTn).
+    Jumps between 0xFF occurrences with C-level bytes.find instead of a
+    per-byte Python walk (this runs once per scan over the remaining
+    stream, which made it ~10% of baseline decode)."""
+    n = len(data)
+    find = data.find
     i = pos
-    while i + 1 < len(data):
-        if data[i] == 0xFF and data[i + 1] != 0x00 and not (0xD0 <= data[i + 1] <= 0xD7):
+    while True:
+        i = find(0xFF, i)
+        if i < 0 or i + 1 >= n:
+            return n
+        nxt = data[i + 1]
+        if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
             return i
-        i += 1
-    return len(data)
+        # stuffed byte or RSTn: data[i+1] != 0xFF here, so resume at i+2
+        i += 2
 
 
 def _skip_rst(br: _BitReader):
