@@ -830,6 +830,38 @@ def _entropy_end(data: bytes, pos: int) -> int:
         i += 2
 
 
+def _split_restart_segments(data: bytes) -> list[bytes]:
+    """Split one scan's entropy-coded bytes on RSTn markers and destuff
+    each segment (FF00 → FF) with C-level ``bytes.replace``.  Inside a
+    scan slice every 0xFF is either a stuff pair or an RSTn prefix
+    (``_entropy_end`` stops at anything else), so FF+D0..D7 is always a
+    real restart marker — segments are pure bit data afterwards and the
+    decode loop needs no per-byte 0xFF branch at all."""
+    segs = []
+    start = 0
+    i = 0
+    n = len(data)
+    find = data.find
+    while True:
+        i = find(0xFF, i)
+        if i < 0 or i + 1 >= n:
+            segs.append(data[start:])
+            break
+        nxt = data[i + 1]
+        if 0xD0 <= nxt <= 0xD7:
+            segs.append(data[start:i])
+            i += 2
+            start = i
+        elif nxt == 0x00:
+            i += 2
+        else:
+            # stray marker (malformed slice): end the segment here, like
+            # the byte-wise reader's feed-zeros-at-marker behaviour
+            segs.append(data[start:i])
+            break
+    return [s.replace(b"\xff\x00", b"\xff") for s in segs]
+
+
 def _skip_rst(br: _BitReader):
     """Byte-align and consume an RSTn marker at a restart boundary."""
     br.align()
@@ -843,14 +875,16 @@ def _decode_scan_seq(br, scan, comps, coefs, hts, mcux, mcuy, restart_interval):
     """Baseline interleaved scan: DC+AC per block into the zigzag
     coefficient store.
 
-    The bit reader is INLINED into this loop (acc/n/pos held in locals,
-    one zero-stuff-aware fill to ≥31 bits per coefficient covers the
-    16-bit Huffman window plus the ≤15 magnitude bits) — this is the
-    whole-image hot loop, and hoisting ~1.4M _BitReader method calls per
-    megapixel out of it measured ~1.8× on the fixture batch.  Semantics
-    are bit-identical to _read_symbol/_BitReader.read (same LUT, same
-    zero padding past markers/stream end); _skip_rst still runs on the
-    shared reader, with locals committed/reloaded around it."""
+    The bit reader is INLINED into this loop (acc/n/pos held in locals) —
+    this is the whole-image hot loop.  The scan is pre-split on RSTn
+    markers and destuffed ONCE per segment (C-level bytes.replace,
+    _split_restart_segments), then converted to big-endian 32-bit words
+    in one numpy frombuffer — a ≥31-bit top-up is a single list index:
+    no per-byte 0xFF test, no _skip_rst calls.  Semantics are
+    bit-identical to
+    _read_symbol/_BitReader.read (same LUT, same zero padding past
+    markers/stream end — the shift-pad in the window/magnitude reads
+    supplies the zeros the byte-wise reader fed explicitly)."""
     sel = scan["sel"]
     order = [ci for ci, c in enumerate(comps) if c["id"] in sel]
     comp_info = [
@@ -861,16 +895,27 @@ def _decode_scan_seq(br, scan, comps, coefs, hts, mcux, mcuy, restart_interval):
         for ci in order
     ]
     preds = [0] * len(comps)
-    data = br.data
-    ln_data = len(data)
-    pos, acc, n = br.pos, br.acc, br.n
+
+    def _words(seg: bytes) -> list:
+        # big-endian 32-bit words, zero-padded at the tail — the pad bits
+        # are exactly the zeros the byte-wise reader fed past stream end,
+        # so consuming them is bit-identical to the old shift-pad path
+        pad = (-len(seg)) % 4
+        return np.frombuffer(seg + b"\x00" * pad, dtype=">u4").tolist()
+
+    segs = [_words(s) for s in _split_restart_segments(br.data[br.pos :])]
+    seg_i = 0
+    words = segs[0]
+    nw = len(words)
+    wi, acc, n = 0, 0, 0
     mcu_n = 0
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_n and mcu_n % restart_interval == 0:
-                br.pos, br.acc, br.n = pos, acc, n
-                _skip_rst(br)
-                pos, acc, n = br.pos, br.acc, br.n
+                seg_i += 1
+                words = segs[seg_i] if seg_i < len(segs) else []
+                nw = len(words)
+                wi, acc, n = 0, 0, 0
                 preds = [0] * len(comps)
             mcu_n += 1
             for ci, ch, cv, dct_lut, act_lut, cf in comp_info:
@@ -878,18 +923,10 @@ def _decode_scan_seq(br, scan, comps, coefs, hts, mcux, mcuy, restart_interval):
                     row = cf[my * cv + by]
                     for bx in range(ch):
                         z = row[mx * ch + bx]
-                        while n < 31 and pos < ln_data:
-                            b = data[pos]
-                            pos += 1
-                            if b == 0xFF:
-                                nxt = data[pos] if pos < ln_data else 0
-                                if nxt == 0x00:
-                                    pos += 1
-                                else:
-                                    pos -= 1
-                                    b = 0
-                            acc = (acc << 8) | b
-                            n += 8
+                        if n < 31 and wi < nw:
+                            acc = (acc << 32) | words[wi]
+                            wi += 1
+                            n += 32
                         window = (acc >> (n - 16)) if n >= 16 else (acc << (16 - n)) & 0xFFFF
                         hit = dct_lut[window & 0xFFFF]
                         if hit is None:
@@ -911,18 +948,10 @@ def _decode_scan_seq(br, scan, comps, coefs, hts, mcux, mcuy, restart_interval):
                         z[0] = preds[ci]
                         k = 1
                         while k < 64:
-                            while n < 31 and pos < ln_data:
-                                b = data[pos]
-                                pos += 1
-                                if b == 0xFF:
-                                    nxt = data[pos] if pos < ln_data else 0
-                                    if nxt == 0x00:
-                                        pos += 1
-                                    else:
-                                        pos -= 1
-                                        b = 0
-                                acc = (acc << 8) | b
-                                n += 8
+                            if n < 31 and wi < nw:
+                                acc = (acc << 32) | words[wi]
+                                wi += 1
+                                n += 32
                             window = (acc >> (n - 16)) if n >= 16 else (acc << (16 - n)) & 0xFFFF
                             hit = act_lut[window & 0xFFFF]
                             if hit is None:
@@ -952,7 +981,9 @@ def _decode_scan_seq(br, scan, comps, coefs, hts, mcux, mcuy, restart_interval):
                             acc &= (1 << n) - 1
                             z[k] = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
                             k += 1
-    br.pos, br.acc, br.n = pos, acc, n
+    # baseline is single-scan: park the shared reader at stream end (pos
+    # is segment-relative now, so the old raw-offset commit is meaningless)
+    br.pos, br.acc, br.n = len(br.data), 0, 0
 
 
 def _decode_scan_prog(br, scan, comps, coefs, hts, mcux, mcuy, restart_interval, w, h):
