@@ -62,3 +62,157 @@ def test_bmp_roundtrip_property(w, h, seed):
 
     px = make_test_image(w, h, seed)
     assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+
+# ---------------------------------------------------------------------------
+# codec properties (no Spark): the image/media codecs feed the certified
+# decode stage, so their invariants get property coverage beyond the fixed
+# golden vectors in test_imaging/test_media.
+
+
+@settings(max_examples=25, deadline=None)
+@given(w=st.integers(1, 40), h=st.integers(1, 30), seed=st.integers(0, 500))
+def test_png_roundtrip_property(w, h, seed):
+    """PNG is lossless: decode(encode(px)) must be exact for any size."""
+    import numpy as np
+
+    from chronicrawl_spark.extras.imaging import decode_png, encode_png
+
+    px = make_test_image(w, h, seed)
+    assert np.array_equal(decode_png(encode_png(px)), px)
+
+
+@settings(max_examples=25, deadline=None)
+@given(w=st.integers(1, 40), h=st.integers(1, 30), seed=st.integers(0, 500))
+def test_gif_roundtrip_property(w, h, seed):
+    """GIF is lossless for paletted content (≤256 colors)."""
+    import numpy as np
+
+    from chronicrawl_spark.extras.imaging import (
+        decode_gif,
+        encode_gif,
+        make_paletted_image,
+    )
+
+    px = make_paletted_image(w, h, seed)
+    assert np.array_equal(decode_gif(encode_gif(px)), px)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(8, 48),
+    h=st.integers(8, 40),
+    seed=st.integers(0, 200),
+    q=st.sampled_from([70, 85, 95]),
+)
+def test_jpeg_lossy_psnr_property(w, h, seed, q):
+    """JPEG round-trips smooth content above a PSNR floor at any size
+    (fixture sweep worst-case is ~39.8 dB at q=70; 30 leaves margin for
+    hypothesis-found shapes while still catching real coefficient bugs)."""
+    from chronicrawl_spark.extras.imaging import (
+        decode_jpeg,
+        encode_jpeg,
+        make_smooth_image,
+        psnr,
+    )
+
+    px = make_smooth_image(w, h, seed)
+    out = decode_jpeg(encode_jpeg(px, quality=q))
+    assert out.shape == px.shape
+    assert psnr(px, out) >= 30.0
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(8, 40),
+    h=st.integers(8, 32),
+    seed=st.integers(0, 200),
+    ri=st.integers(1, 7),
+)
+def test_jpeg_restart_interval_invariance(w, h, seed, ri):
+    """Decoded pixels must not depend on how the entropy stream is cut
+    into restart segments: same coefficients, only DC predictors reset.
+    Pins the segment-split scan decoder (imaging._split_restart_segments)
+    against the unsegmented stream."""
+    import numpy as np
+
+    from chronicrawl_spark.extras.imaging import (
+        decode_jpeg,
+        encode_jpeg,
+        make_smooth_image,
+    )
+
+    px = make_smooth_image(w, h, seed)
+    a = decode_jpeg(encode_jpeg(px, quality=85))
+    b = decode_jpeg(encode_jpeg(px, quality=85, restart_interval=ri))
+    assert np.array_equal(a, b)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(8, 24),
+    h=st.integers(8, 24),
+    seed=st.integers(0, 100),
+    frac=st.floats(0.02, 0.98),
+)
+def test_jpeg_truncation_is_contained(w, h, seed, frac):
+    """A truncated JPEG either decodes (zero-padded tail, per T.81
+    marker-as-zeros semantics) or raises — never hangs or corrupts memory.
+    This is the poison-row-isolation contract of the Arrow decode stage."""
+    import numpy as np
+
+    from chronicrawl_spark.extras.imaging import (
+        decode_jpeg,
+        encode_jpeg,
+        make_smooth_image,
+    )
+
+    data = encode_jpeg(make_smooth_image(w, h, seed), quality=85)
+    cut = data[: max(2, int(len(data) * frac))]
+    try:
+        out = decode_jpeg(cut)
+        assert isinstance(out, np.ndarray)
+    except Exception:
+        pass  # any raise is fine — the mapInPandas stage catches per row
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 500),
+    ch=st.sampled_from([1, 2]),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 1000),
+)
+def test_wav_roundtrip_property(n, ch, rate, seed):
+    """RIFF-PCM WAV is lossless: exact samples and rate back."""
+    import numpy as np
+
+    from chronicrawl_spark.extras.media import decode_wav, encode_wav
+
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32767, (n, ch)).astype(np.int16)
+    out, r = decode_wav(encode_wav(s, rate))
+    assert r == rate
+    assert np.array_equal(out, s)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    w=st.integers(16, 32),
+    h=st.integers(16, 24),
+    n=st.integers(1, 6),
+    k=st.integers(1, 3),
+    seed=st.integers(0, 50),
+)
+def test_video_container_invariance(w, h, n, k, seed):
+    """The same frame sequence muxed as MJPG and as ISO-BMFF (MP4) must
+    frame-sample to identical indices and identical decoded pixels — the
+    container changes the byte layout, never the content."""
+    import numpy as np
+
+    from chronicrawl_spark.extras.media import decode_video_frames, make_test_video
+
+    a, _ = decode_video_frames(make_test_video(w, h, n, seed, container="mjpg"), every_k=k)
+    b, _ = decode_video_frames(make_test_video(w, h, n, seed, container="mp4"), every_k=k)
+    assert [i for i, _ in a] == [i for i, _ in b]
+    assert all(np.array_equal(pa, pb) for (_, pa), (_, pb) in zip(a, b))
