@@ -189,31 +189,47 @@ def warc_export(
     """warc_records ⟕ visits → DataFrame of (name, data, n_records,
     n_bytes) .warc.gz blobs.
 
-    One hash shuffle on a shard of the exchange key ``xxhash64(url,
-    date)`` co-locates each request with its response/revisit (they share
-    url + date by construction), then each shard sorts by (date, url,
-    record_type) — request before response, the reference's write order —
-    and packs files of ~``records_per_file`` records, rotating ONLY on
-    exchange boundaries so WARC-Concurrent-To pairing always resolves
-    within a file.  ``shards`` defaults to the cluster's default
-    parallelism; at 100 TB each shard holds one file's worth of payloads
-    at a time and shard count scales writers linearly."""
+    Both sides are sharded on ``xxhash64(origin_id, path_id, date)`` — a
+    hash of the exchange key, which request and response/revisit share by
+    construction — and cogrouped, so the PAYLOAD side crosses exactly ONE
+    exchange (pinned in tests/test_plans.py): the visit-status lookup that
+    a records⟕visits join would pay as a second full payload shuffle is
+    instead a local pandas merge against the narrow ~40-byte visit rows of
+    the same shard.  Each shard then sorts by (date, url, record_type) —
+    request before response, the reference's write order — and packs files
+    of ~``records_per_file`` records, rotating ONLY on exchange boundaries
+    so WARC-Concurrent-To pairing always resolves within a file.
+    ``shards`` defaults to the cluster's default parallelism; at 100 TB
+    each shard holds one file's worth of payloads at a time and shard
+    count scales writers linearly."""
     if shards is None:
         shards = max(records.sparkSession.sparkContext.defaultParallelism, 1)
-    v = visits.select(
-        "origin_id", "path_id", "date", "status", "content_type", "content_length"
-    )
-    joined = (
-        records.join(v, ["origin_id", "path_id", "date"], "left")
-        .select(
-            "warc_id", "record_type", "url", "date", "payload", "payload_digest",
-            "refers_to_date", "profile", "status", "content_type", "content_length",
-        )
-        .withColumn("_shard", F.pmod(F.xxhash64("url", "date"), F.lit(shards)))
-    )
 
-    def ser(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["date", "url", "record_type"]).drop(columns=["_shard"])
+    def shard(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "_shard", F.pmod(F.xxhash64("origin_id", "path_id", "date"), F.lit(shards))
+        )
+
+    r = shard(records.select(
+        "origin_id", "path_id", "warc_id", "record_type", "url", "date",
+        "payload", "payload_digest", "refers_to_date", "profile",
+    ))
+    v = shard(visits.select(
+        "origin_id", "path_id", "date", "status", "content_type", "content_length"
+    ))
+
+    def ser(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        cols = ["name", "data", "n_records", "n_bytes"]
+        if left.empty:  # a visit with no warc record (synthetic error rows)
+            return pd.DataFrame(columns=cols)
+        pdf = left.drop(columns=["_shard"]).merge(
+            right.drop(columns=["_shard"]),
+            on=["origin_id", "path_id", "date"], how="left",
+        )
+        # left-merge misses surface as NaN; serialize_row expects None
+        for c in ("status", "content_type", "content_length"):
+            pdf[c] = pdf[c].astype(object).where(pdf[c].notna(), None)
+        pdf = pdf.sort_values(["date", "url", "record_type"])
         step = records_per_file or max(len(pdf), 1)
         # exchange boundaries: consecutive rows with the same (url, date)
         key = pdf["url"].astype(str) + "\0" + pdf["date"].astype(str)
@@ -228,11 +244,11 @@ def warc_export(
         if seg:
             name, data = _serialize_file(seg, software)
             rows_out.append((name, data, len(seg), len(data)))
-        return pd.DataFrame(
-            rows_out, columns=["name", "data", "n_records", "n_bytes"]
-        )
+        return pd.DataFrame(rows_out, columns=cols)
 
-    return joined.groupBy("_shard").applyInPandas(ser, EXPORT_SCHEMA)
+    return r.groupBy("_shard").cogroup(v.groupBy("_shard")).applyInPandas(
+        ser, EXPORT_SCHEMA
+    )
 
 
 def save_warc_files(files: DataFrame, out_dir: str) -> int:

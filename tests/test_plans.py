@@ -7,6 +7,8 @@ viable at 100 TB must not silently degrade.
 - the W2 window costs exactly one shuffle
 """
 
+import re
+
 import pyspark.sql.functions as F
 
 import __spark_entry__ as em
@@ -239,3 +241,27 @@ def test_decode_verify_thumbnails_no_shuffle(spark):
 
     plan = formatted_plan(decode_verify_thumbnails(make_images(spark, n=4)))
     assert count_exchanges(plan) == 0
+
+
+def test_warc_export_single_payload_shuffle(spark, tmp_path):
+    """WARC export must move payload blobs through exactly ONE exchange:
+    the cogroup shard shuffle.  The naive shape — records⟕visits join then
+    groupBy(shard) — shuffles every payload twice, doubling the dominant
+    cost of a 100 TB archive export.  Pin: two exchanges total (one per
+    cogroup side; the visits side carries ~40-byte rows), payload bytes in
+    only the records-side exchange, and no join operator at all."""
+    from chronicrawl_spark.tables import StateStore
+    from chronicrawl_spark.warcfile import warc_export
+
+    store = StateStore(spark, str(tmp_path / "state"), buckets=4)
+    plan = formatted_plan(warc_export(store.read("warc_records"), store.read("visits")))
+    assert count_exchanges(plan) == 2
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert count_sortmerge_joins(plan) == 0 and count_broadcast_joins(plan) == 0
+    # payload bytes enter exactly one of the two exchanges (the records side)
+    exch_inputs = [
+        {c.strip().split("#")[0] for c in m.group(1).split(",")}
+        for m in re.finditer(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    ]
+    assert len(exch_inputs) == 2
+    assert sum("payload" in cols for cols in exch_inputs) == 1
