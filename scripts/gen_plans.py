@@ -91,6 +91,15 @@ def main():
     )
     out.append("delete_where_kept (retirement: touched-bucket-only scan + broadcast anti-join)")
     out.append(formatted_plan(kept))
+
+    # WARC export: cogroup on the exchange-key shard — payload blobs cross
+    # exactly one exchange; no join operator (test_plans pins this)
+    from chronicrawl_spark.warcfile import warc_export
+
+    out.append("warc_export (cogroup: single payload shuffle, local status merge)")
+    out.append(
+        formatted_plan(warc_export(store.read("warc_records"), store.read("visits")))
+    )
     with open(os.path.join(REPO, "docs", "PLANS.txt"), "w") as f:
         f.write("\n".join(out))
     print("wrote docs/PLANS.txt")
