@@ -94,10 +94,11 @@ def visits_as_cdx(visits: DataFrame, frontier: DataFrame, origins: DataFrame) ->
         & F.col("response_payload_digest").isNotNull()
         & F.col("warc_id").isNotNull()
     )
-    padded = F.concat(
-        F.col("response_payload_digest"),
-        F.expr("repeat(X'00', 12)"),  # pad truncated 8-byte digest to 20 (Database.java:521)
-    )
+    # pad truncated 8-byte digest to 20 (Database.java:521); the pad MUST be
+    # a binary literal — repeat(X'00', n) is a string function, and the
+    # coerced concat round-trips the digest bytes through UTF-8, corrupting
+    # any non-ASCII byte before the base32 render
+    padded = F.concat(F.col("response_payload_digest"), F.lit(b"\x00" * 12))
     return (
         v.join(F.broadcast(loc), ["origin_id", "path_id"], "left")
         .join(F.broadcast(org), ["origin_id"], "left")
@@ -111,4 +112,42 @@ def visits_as_cdx(visits: DataFrame, frontier: DataFrame, origins: DataFrame) ->
             base32_expr(padded).alias("digest_b32"),
             F.col("response_length").alias("length"),
         )
+    )
+
+
+def export_cdx_lines(files: DataFrame) -> DataFrame:
+    """Render the 11-field CDX index for a `warcfile.warc_export` result —
+    the text index pywb/OutbackCDX build replay on (same field order the
+    reference consumes from remote archives, ``ExternalArchive.java:33-47``,
+    so :func:`parse_cdx_lines` round-trips it).  One narrow explode over
+    the export's per-file index arrays; payload blobs are not touched.
+
+    Output: one row per response/revisit member, column ``value`` =
+    ``urlkey timestamp original mimetype statuscode digest - - length
+    offset filename``.
+    """
+    from ..functions.udfs import url_parts
+
+    e = files.select("name", F.explode("index").alias("i"))
+
+    def dash(c):
+        return F.coalesce(c.cast("string"), F.lit("-"))
+
+    # warc_records carry the FULL 20-byte sha1 (unlike the visit log's
+    # truncated 8 bytes), so the classic 32-char base32 render needs no pad
+    return e.select(
+        F.concat_ws(
+            " ",
+            url_parts(F.col("i.url"))["ssurt"],
+            F.date_format(F.timestamp_millis(F.col("i.date")), "yyyyMMddHHmmss"),
+            F.col("i.url"),
+            dash(F.col("i.content_type")),
+            dash(F.col("i.status")),
+            F.when(F.col("i.digest").isNotNull(), base32_expr(F.col("i.digest"))).otherwise(F.lit("-")),
+            F.lit("-"),
+            F.lit("-"),
+            dash(F.col("i.length")),
+            dash(F.col("i.offset")),
+            F.col("name"),
+        ).alias("value")
     )

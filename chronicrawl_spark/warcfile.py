@@ -59,7 +59,11 @@ _REASON = {
     403: "Forbidden", 404: "Not Found", 410: "Gone", 500: "Internal Server Error",
 }
 
-EXPORT_SCHEMA = "name string, data binary, n_records long, n_bytes long"
+EXPORT_SCHEMA = (
+    "name string, data binary, n_records long, n_bytes long, "
+    "index array<struct<url:string,date:long,record_type:string,status:int,"
+    "content_type:string,digest:binary,offset:long,length:long>>"
+)
 
 
 def _warc_date(ms: int) -> str:
@@ -170,13 +174,33 @@ def _gz(member: bytes) -> bytes:
 
 
 def _serialize_file(rows: list, software: str) -> tuple:
-    """rows (already ordered) → (name, .warc.gz bytes)."""
+    """rows (already ordered) → (name, .warc.gz bytes, index entries).
+
+    Index entries are (url, date, record_type, status, content_type,
+    digest, offset, length) for response/revisit members only — the
+    records a CDX replay index addresses (requests are not indexed, same
+    as every classic CDX writer).  Offsets are byte positions of the gzip
+    members within the file, the seekable-member contract pywb relies on."""
     ids = b"".join(bytes(r["warc_id"]) for r in rows)
     min_date = min(int(r["date"]) for r in rows)
     name = f"chronicrawl-{min_date}-{hashlib.sha1(ids).hexdigest()[:8]}.warc.gz"
     out = [_gz(_warcinfo(name, min_date, software))]
-    out.extend(_gz(serialize_row(r)) for r in rows)
-    return name, b"".join(out)
+    offset = len(out[0])
+    index = []
+    for r in rows:
+        member = _gz(serialize_row(r))
+        if r["record_type"] in ("response", "revisit"):
+            digest = r.get("payload_digest")
+            index.append((
+                r["url"], int(r["date"]), r["record_type"],
+                int(r["status"]) if r.get("status") is not None else None,
+                r.get("content_type"),
+                bytes(digest) if digest is not None else None,
+                offset, len(member),
+            ))
+        offset += len(member)
+        out.append(member)
+    return name, b"".join(out), index
 
 
 def warc_export(
@@ -219,7 +243,7 @@ def warc_export(
     ))
 
     def ser(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        cols = ["name", "data", "n_records", "n_bytes"]
+        cols = ["name", "data", "n_records", "n_bytes", "index"]
         if left.empty:  # a visit with no warc record (synthetic error rows)
             return pd.DataFrame(columns=cols)
         pdf = left.drop(columns=["_shard"]).merge(
@@ -235,15 +259,18 @@ def warc_export(
         key = pdf["url"].astype(str) + "\0" + pdf["date"].astype(str)
         new_exchange = key.ne(key.shift()).to_numpy()
         rows_out, seg = [], []
+
+        def flush(seg):
+            name, data, index = _serialize_file(seg, software)
+            rows_out.append((name, data, len(seg), len(data), index))
+
         for i, rec in enumerate(pdf.to_dict("records")):
             if new_exchange[i] and len(seg) >= step:
-                name, data = _serialize_file(seg, software)
-                rows_out.append((name, data, len(seg), len(data)))
+                flush(seg)
                 seg = []
             seg.append(rec)
         if seg:
-            name, data = _serialize_file(seg, software)
-            rows_out.append((name, data, len(seg), len(data)))
+            flush(seg)
         return pd.DataFrame(rows_out, columns=cols)
 
     return r.groupBy("_shard").cogroup(v.groupBy("_shard")).applyInPandas(
