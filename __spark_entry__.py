@@ -1163,31 +1163,114 @@ FROM m ORDER BY doc_id
 """
 
 
-def q_token_count(spark, sf_dir):
-    from chronicrawl_spark.extras.textstats import token_count
+def q_text_tokens_fingerprint(spark, sf_dir):
+    """L11 token counting + rolling-hash document fingerprinting in one
+    certified entry (both are doc_id-keyed row functions over the same
+    table; merged to keep the registry inside the driver's 50-entry cap).
+    """
+    from chronicrawl_spark.extras.textstats import fingerprint, token_count
 
-    return token_count(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
+    return token_count(docs).join(fingerprint(docs), "doc_id")
 
 
-SQL_TOKEN_COUNT = """
-SELECT doc_id,
+SQL_TOKENS_FINGERPRINT = """
+WITH t AS (SELECT doc_id,
   CAST(len(regexp_split_to_array(trim(text), ' +')) AS INT) AS ws_tokens,
   CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS bpe_ish_tokens
-FROM documents ORDER BY doc_id
+FROM documents),
+w AS (SELECT doc_id, string_split(lower(text),' ') AS l FROM documents),
+sh AS (SELECT doc_id, list_transform(range(1, GREATEST(len(l)-2,0)+1),
+              i -> md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS hs FROM w),
+f AS (SELECT doc_id, list_min(hs) AS fp_min, list_max(hs) AS fp_max FROM sh)
+SELECT t.doc_id, t.ws_tokens, t.bpe_ish_tokens, f.fp_min, f.fp_max
+FROM t JOIN f USING (doc_id) ORDER BY doc_id
 """
 
 
-def q_doc_fingerprint(spark, sf_dir):
-    from chronicrawl_spark.extras.textstats import fingerprint
+def _crossmodal_fixture_rows():
+    """Driver-side twin of q_crossmodal_dups's Spark fixture: the
+    deterministic make_images(12) triples plus the planted duplicate /
+    conflict / boilerplate / near-dup rows (closed-form — no RNG), so the
+    oracle can run the classification in pure SQL over a VALUES table."""
+    from chronicrawl_spark.fixtures import DEFAULT_FMT_CYCLE, _image_row
 
-    return fingerprint(_t(spark, sf_dir, "documents"))
+    base = [_image_row(i, 32, 24, DEFAULT_FMT_CYCLE[i % 4]) for i in range(12)]
+    by_id = {r[0]: r for r in base}
+    rows = [
+        (r[0], r[6], "  Stock   Photo ") if r[0] in ("img0002", "img0003")
+        else (r[0], r[6], r[5])
+        for r in base
+    ]
+    rows.append(("img0000_dup", by_id["img0000"][6], by_id["img0000"][5]))
+    rows.append(("img0001_alt", by_id["img0001"][6], "a completely different caption"))
+    rows.append(("img0004_near", by_id["img0004"][6] ^ 1, by_id["img0004"][5]))
+    return rows
 
 
-SQL_DOC_FINGERPRINT = """
-WITH w AS (SELECT doc_id, string_split(lower(text),' ') AS l FROM documents),
-sh AS (SELECT doc_id, list_transform(range(1, GREATEST(len(l)-2,0)+1),
-              i -> md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS hs FROM w)
-SELECT doc_id, list_min(hs) AS fp_min, list_max(hs) AS fp_max FROM sh ORDER BY doc_id
+def q_crossmodal_dups(spark, sf_dir):
+    """Cross-modal dedup classification over the image+caption pair table
+    (extras/dedup.crossmodal_dup_pairs): exact multi-index-Hamming image
+    near-dups joined with normalized-caption dup groups, labelled
+    dup / caption_conflict / caption_boilerplate.  Fixture plants one of
+    each class plus a hamming-1 near-dup over the deterministic
+    make_images table; the oracle reruns the classification as all-pairs
+    SQL over the same (image_id, phash, caption) triples — algorithm-
+    independent truth for the banded candidate generator."""
+    from chronicrawl_spark.extras.dedup import crossmodal_dup_pairs
+    from chronicrawl_spark.fixtures import make_images
+
+    base = make_images(spark, n=12, w=32, h=24)
+    dup = base.filter(F.col("image_id") == "img0000").select(
+        F.lit("img0000_dup").alias("image_id"), "bytes", "w", "h", "fmt", "caption", "phash"
+    )
+    alt = base.filter(F.col("image_id") == "img0001").select(
+        F.lit("img0001_alt").alias("image_id"), "bytes", "w", "h", "fmt",
+        F.lit("a completely different caption").alias("caption"), "phash",
+    )
+    near = base.filter(F.col("image_id") == "img0004").select(
+        F.lit("img0004_near").alias("image_id"), "bytes", "w", "h", "fmt", "caption",
+        F.col("phash").bitwiseXOR(F.lit(1)).alias("phash"),
+    )
+    boiler = base.filter(F.col("image_id").isin("img0002", "img0003")).select(
+        "image_id", "bytes", "w", "h", "fmt",
+        F.lit("  Stock   Photo ").alias("caption"), "phash",
+    )
+    table = (
+        base.filter(~F.col("image_id").isin("img0002", "img0003"))
+        .unionByName(dup).unionByName(alt).unionByName(near).unionByName(boiler)
+    )
+    return crossmodal_dup_pairs(table)
+
+
+def _sql_crossmodal_dups() -> str:
+    vals = ",\n  ".join(
+        f"('{i}', CAST({ph} AS BIGINT), '{cap}')"
+        for i, ph, cap in _crossmodal_fixture_rows()
+    )
+    return f"""
+WITH pairs(image_id, phash, caption) AS (VALUES
+  {vals}),
+norm AS (SELECT image_id, phash,
+           regexp_replace(trim(lower(caption)), '\\s+', ' ', 'g') AS ckey
+         FROM pairs),
+img AS (SELECT x.image_id AS img_a, y.image_id AS img_b,
+          CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
+        FROM norm x JOIN norm y ON x.image_id < y.image_id
+        WHERE bit_count(xor(x.phash, y.phash)) <= 3),
+ok AS (SELECT ckey FROM norm GROUP BY ckey HAVING count(*) <= 64),
+cap AS (SELECT x.image_id AS img_a, y.image_id AS img_b, TRUE AS cap_dup
+        FROM (SELECT n.* FROM norm n JOIN ok USING (ckey)) x
+        JOIN (SELECT n.* FROM norm n JOIN ok USING (ckey)) y
+          ON x.ckey = y.ckey AND x.image_id < y.image_id)
+SELECT COALESCE(i.img_a, c.img_a) AS img_a,
+       COALESCE(i.img_b, c.img_b) AS img_b,
+       i.hamming,
+       CASE WHEN i.img_a IS NOT NULL AND c.img_a IS NOT NULL THEN 'dup'
+            WHEN i.img_a IS NOT NULL THEN 'caption_conflict'
+            ELSE 'caption_boilerplate' END AS label
+FROM img i FULL OUTER JOIN cap c ON i.img_a = c.img_a AND i.img_b = c.img_b
+ORDER BY img_a, img_b
 """
 
 
@@ -1747,8 +1830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
-        "token_count": q_token_count,
-        "doc_fingerprint": q_doc_fingerprint,
+        "text_tokens_fingerprint": q_text_tokens_fingerprint,
+        "crossmodal_dups": q_crossmodal_dups,
         "audio_features": q_audio_features,
         "video_frame_sample": q_video_frame_sample,
         "aimd_backfill": q_aimd_backfill,
@@ -1803,8 +1886,8 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": SQL_IVF_TOPK,
         "text_langid": _sql_langid(),
         "text_quality": SQL_TEXT_QUALITY,
-        "token_count": SQL_TOKEN_COUNT,
-        "doc_fingerprint": SQL_DOC_FINGERPRINT,
+        "text_tokens_fingerprint": SQL_TOKENS_FINGERPRINT,
+        "crossmodal_dups": _sql_crossmodal_dups(),
         "aimd_backfill": SQL_AIMD_BACKFILL,
         "audio_features": _sql_audio_features(),
         "video_frame_sample": _sql_video_frame_sample(),

@@ -487,3 +487,72 @@ def embedding_dup_pairs(
         .filter(F.col("cos_e6") >= int(threshold * 1e6))
         .select("vec_a", "vec_b", "cos_e6")
     )
+
+
+def crossmodal_dup_pairs(
+    images: DataFrame,
+    max_dist: int = 3,
+    max_caption_group: int = 64,
+) -> DataFrame:
+    """Cross-modal duplicate classification over the image+caption pair
+    table (input_hint shape) — joins the IMAGE near-dup signal (phash
+    Hamming, :func:`phash_dup_pairs`, exact multi-index banding) with the
+    CAPTION dup signal (normalized-equality groupBy) and labels every
+    candidate pair:
+
+    - ``dup``: image near-dup AND caption dup — the same training sample
+      twice; drop one (the standard image-text dataset dedup case).
+    - ``caption_conflict``: image near-dup but captions differ — the same
+      picture labelled two ways, i.e. label noise a caption-supervised
+      training run wants surfaced, not silently deduped.
+    - ``caption_boilerplate``: caption dup but images differ — a stock
+      caption ("photo", alt-text boilerplate) pasted across unrelated
+      images; a caption-keyed dedup would wrongly collapse these.
+
+    Caption normalization is lower/trim/whitespace-squeeze (mirrored in
+    the DuckDB oracle).  ``max_caption_group`` guards the quadratic blowup
+    of a hot boilerplate caption shared by millions of rows: caption
+    groups larger than the cap are excluded from pair generation (same
+    df-cap pattern as ``word_jaccard_pairs``; the cap is mirrored in the
+    oracle).  Scale: the image side is the skew-free banded Hamming join;
+    the caption side shuffles once on the normalized-caption hash with
+    per-group pair fan-out bounded by the cap — no all-pairs path.
+
+    Ref analog: the reference dedupes on content digest only
+    (``Database.java:229-251``); cross-modal classification is our
+    training-pipeline extension over the paired table.
+    """
+    norm = images.select(
+        F.col("image_id").alias("img_id"),
+        F.regexp_replace(F.trim(F.lower(F.col("caption"))), r"\s+", " ").alias("ckey"),
+    )
+    img = phash_dup_pairs(images, max_dist=max_dist).select(
+        F.col("img_a"), F.col("img_b"), F.col("hamming")
+    )
+    small = (
+        norm.groupBy("ckey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") <= int(max_caption_group))
+        .select("ckey")
+    )
+    nc = norm.join(small, "ckey")
+    cx, cy = nc.alias("cx"), nc.alias("cy")
+    cap = cx.join(
+        cy,
+        (F.col("cx.ckey") == F.col("cy.ckey"))
+        & (F.col("cx.img_id") < F.col("cy.img_id")),
+    ).select(
+        F.col("cx.img_id").alias("img_a"),
+        F.col("cy.img_id").alias("img_b"),
+        F.lit(True).alias("cap_dup"),
+    )
+    j = img.join(cap, ["img_a", "img_b"], "full_outer")
+    return j.select(
+        "img_a",
+        "img_b",
+        "hamming",
+        F.when(F.col("hamming").isNotNull() & F.col("cap_dup").isNotNull(), "dup")
+        .when(F.col("hamming").isNotNull(), "caption_conflict")
+        .otherwise("caption_boilerplate")
+        .alias("label"),
+    )
