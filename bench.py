@@ -52,8 +52,8 @@ HEADLINE = [
     "ann_multi_topk",
     "ivf_topk",
     "text_quality",
-    "token_count",
-    "doc_fingerprint",
+    "text_tokens_fingerprint",
+    "crossmodal_dups",
     "aimd_backfill",
     # the north-rule image phase: fused decode → phash invariant →
     # thumbnail → quality metrics (fixture-scale; the at-scale curve is
