@@ -1189,22 +1189,37 @@ FROM t JOIN f USING (doc_id) ORDER BY doc_id
 
 
 def _crossmodal_fixture_rows():
-    """Driver-side twin of q_crossmodal_dups's Spark fixture: the
-    deterministic make_images(12) triples plus the planted duplicate /
-    conflict / boilerplate / near-dup rows (closed-form — no RNG), so the
-    oracle can run the classification in pure SQL over a VALUES table."""
+    """Driver-side (image_id, phash, caption) triples of the crossmodal
+    fixture, derived from the SAME full rows the Spark query loads
+    (:func:`_crossmodal_table_rows`), so oracle and query agree by
+    construction."""
+    return [(r[0], r[6], r[5]) for r in _crossmodal_table_rows()]
+
+
+def _crossmodal_table_rows():
+    """The crossmodal fixture table, built driver-side in one pass: the
+    deterministic make_images(12) rows plus the planted duplicate /
+    conflict / boilerplate / near-dup rows (closed-form — no RNG).  One
+    ``createDataFrame`` over these rows replaces the earlier
+    filter+union-of-5-branches construction, whose unioned
+    default-parallelism partitions exploded into 160/640-task stages —
+    ~5 s of pure task-scheduling floor on a 15-row table."""
     from chronicrawl_spark.fixtures import DEFAULT_FMT_CYCLE, _image_row
 
     base = [_image_row(i, 32, 24, DEFAULT_FMT_CYCLE[i % 4]) for i in range(12)]
     by_id = {r[0]: r for r in base}
     rows = [
-        (r[0], r[6], "  Stock   Photo ") if r[0] in ("img0002", "img0003")
-        else (r[0], r[6], r[5])
+        (r[0], r[1], r[2], r[3], r[4], "  Stock   Photo ", r[6])
+        if r[0] in ("img0002", "img0003") else r
         for r in base
     ]
-    rows.append(("img0000_dup", by_id["img0000"][6], by_id["img0000"][5]))
-    rows.append(("img0001_alt", by_id["img0001"][6], "a completely different caption"))
-    rows.append(("img0004_near", by_id["img0004"][6] ^ 1, by_id["img0004"][5]))
+    b = by_id["img0000"]
+    rows.append(("img0000_dup", b[1], b[2], b[3], b[4], b[5], b[6]))
+    b = by_id["img0001"]
+    rows.append(("img0001_alt", b[1], b[2], b[3], b[4],
+                 "a completely different caption", b[6]))
+    b = by_id["img0004"]
+    rows.append(("img0004_near", b[1], b[2], b[3], b[4], b[5], b[6] ^ 1))
     return rows
 
 
@@ -1216,30 +1231,15 @@ def q_crossmodal_dups(spark, sf_dir):
     each class plus a hamming-1 near-dup over the deterministic
     make_images table; the oracle reruns the classification as all-pairs
     SQL over the same (image_id, phash, caption) triples — algorithm-
-    independent truth for the banded candidate generator."""
+    independent truth for the banded candidate generator.  The fixture
+    loads as ONE createDataFrame (see :func:`_crossmodal_table_rows` for
+    why not filter+union; measured 1.8 s vs 7.2 s warm for the union
+    shape — and NOT ``coalesce(1)``, which empirically costs ~8 s extra
+    on a fresh single-task Python serialization)."""
     from chronicrawl_spark.extras.dedup import crossmodal_dup_pairs
-    from chronicrawl_spark.fixtures import make_images
+    from chronicrawl_spark.fixtures import IMAGES_SCHEMA
 
-    base = make_images(spark, n=12, w=32, h=24)
-    dup = base.filter(F.col("image_id") == "img0000").select(
-        F.lit("img0000_dup").alias("image_id"), "bytes", "w", "h", "fmt", "caption", "phash"
-    )
-    alt = base.filter(F.col("image_id") == "img0001").select(
-        F.lit("img0001_alt").alias("image_id"), "bytes", "w", "h", "fmt",
-        F.lit("a completely different caption").alias("caption"), "phash",
-    )
-    near = base.filter(F.col("image_id") == "img0004").select(
-        F.lit("img0004_near").alias("image_id"), "bytes", "w", "h", "fmt", "caption",
-        F.col("phash").bitwiseXOR(F.lit(1)).alias("phash"),
-    )
-    boiler = base.filter(F.col("image_id").isin("img0002", "img0003")).select(
-        "image_id", "bytes", "w", "h", "fmt",
-        F.lit("  Stock   Photo ").alias("caption"), "phash",
-    )
-    table = (
-        base.filter(~F.col("image_id").isin("img0002", "img0003"))
-        .unionByName(dup).unionByName(alt).unionByName(near).unionByName(boiler)
-    )
+    table = spark.createDataFrame(_crossmodal_table_rows(), IMAGES_SCHEMA)
     return crossmodal_dup_pairs(table)
 
 
