@@ -18,6 +18,7 @@ QUERIES = [
     "j6_asof_furthest",
     "dedup_ngram_jaccard",
     "ann_multi_topk",
+    "crossmodal_dups",
 ]
 
 
