@@ -265,3 +265,36 @@ def test_warc_export_single_payload_shuffle(spark, tmp_path):
     ]
     assert len(exch_inputs) == 2
     assert sum("payload" in cols for cols in exch_inputs) == 1
+
+
+def test_training_export_single_payload_shuffle(spark):
+    """Training-shard export must move image payloads through exactly ONE
+    exchange: shard = f(image_id), so the cogroup on shard both co-locates
+    each payload with its kept-id row (local isin filter) and groups
+    samples into shards.  The naive semi-join-then-repartition shape
+    shuffles every payload twice.  Pin: FlatMapCoGroupsInPandas present,
+    and the ``bytes`` payload column enters exactly one exchange (the
+    kept-id selection subplan has its own narrow exchanges — decode stats
+    and phash pairs never carry payload bytes)."""
+    from chronicrawl_spark.extras.training_export import (
+        _shard_col,
+        select_training_set,
+    )
+    from chronicrawl_spark.fixtures import make_images
+    import pyspark.sql.types as T
+
+    images = make_images(spark, n=4, w=16, h=12)
+    kept, _ = select_training_set(images)
+    lhs = images.withColumn("shard", _shard_col(4)).groupBy("shard")
+    rhs = kept.select("image_id").withColumn("shard", _shard_col(4)).groupBy("shard")
+    out_schema = T.StructType(
+        list(images.schema.fields) + [T.StructField("shard", T.IntegerType())]
+    )
+    sharded = lhs.cogroup(rhs).applyInPandas(lambda l, r: l, schema=out_schema)
+    plan = formatted_plan(sharded)
+    assert "FlatMapCoGroupsInPandas" in plan
+    exch_inputs = [
+        {c.strip().split("#")[0] for c in m.group(1).split(",")}
+        for m in re.finditer(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    ]
+    assert sum("bytes" in cols for cols in exch_inputs) == 1
