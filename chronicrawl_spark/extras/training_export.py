@@ -94,8 +94,18 @@ def select_training_set(
         if k not in METRIC_COLS:
             raise ValueError(f"unknown quality metric {k!r}; one of {METRIC_COLS}")
 
-    stats = decode_verify_thumbnails(images, with_quality=True).select(
-        "image_id", "ok", "error", "caption", *METRIC_COLS
+    # persist: every downstream branch (kept ids, reject tally, each CC
+    # iteration through the dup pairs) re-evaluates this lineage, and its
+    # root is the full-corpus DECODE — without the persist a 32k-image
+    # export re-decoded the corpus ~4× (measured 69 s → 19 s at 16
+    # cores).  The persisted frame is narrow (id + flags + 5 doubles);
+    # payload bytes are not in it.  Left persisted for the caller's
+    # actions on the returned frames; Spark's LRU evicts it under
+    # pressure.
+    stats = (
+        decode_verify_thumbnails(images, with_quality=True)
+        .select("image_id", "ok", "error", "caption", *METRIC_COLS)
+        .persist()
     )
 
     # gate order is encoded as one CASE so each reject carries exactly the
