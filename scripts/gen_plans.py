@@ -101,6 +101,31 @@ def main():
     out.append(
         formatted_plan(warc_export(store.read("warc_records"), store.read("visits")))
     )
+
+    # training-shard export: cogroup on shard=f(image_id) — payload bytes
+    # cross exactly one exchange; kept-filter is a local isin (test_plans)
+    from pyspark.sql import types as T2
+
+    from chronicrawl_spark.extras.training_export import (
+        _shard_col,
+        select_training_set,
+    )
+    from chronicrawl_spark.fixtures import make_images
+
+    imgs = make_images(spark, n=4, w=16, h=12)
+    kept, _rej = select_training_set(imgs)
+    exp_schema = T2.StructType(
+        list(imgs.schema.fields) + [T2.StructField("shard", T2.IntegerType())]
+    )
+    exp = (
+        imgs.withColumn("shard", _shard_col(4)).groupBy("shard")
+        .cogroup(
+            kept.select("image_id").withColumn("shard", _shard_col(4)).groupBy("shard")
+        )
+        .applyInPandas(lambda l, r: l, schema=exp_schema)
+    )
+    out.append("training_export (cogroup: single payload shuffle, local kept-filter)")
+    out.append(formatted_plan(exp))
     with open(os.path.join(REPO, "docs", "PLANS.txt"), "w") as f:
         f.write("\n".join(out))
     print("wrote docs/PLANS.txt")
