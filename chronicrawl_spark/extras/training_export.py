@@ -181,6 +181,8 @@ def export_training_shards(
     quality_bounds: dict | None = None,
     min_caption_words: int = 1,
     max_dist: int = 3,
+    samples_per_shard: int | None = None,
+    write_rejects: bool = True,
 ) -> dict:
     """Run :func:`select_training_set`, write the survivors as ``n_shards``
     deterministic shards under ``out_dir``, and return the manifest dict
@@ -190,6 +192,18 @@ def export_training_shards(
     each (columns image_id, bytes, w, h, fmt, caption, phash — the input
     shape, so shards are themselves valid pipeline inputs).
     ``fmt="tar"``: ``shard-%05d.tar`` WebDataset-style files.
+
+    ``samples_per_shard`` overrides ``n_shards``: the shard count becomes
+    ``ceil(kept / samples_per_shard)`` — the dataloader-facing knob (a
+    100 TB corpus wants "~10k samples per shard", not a hand-computed
+    shard count).  The expected ±√ hash-balance wobble around the target
+    is inherent to deterministic id-hash assignment.
+
+    ``write_rejects=True`` also writes the per-row reject log (image_id,
+    reason) as parquet under ``out_dir/_rejects`` — the audit trail a real
+    pipeline keeps ("why did sample X disappear?").  The underscore
+    prefix keeps dataset readers (``spark.read.parquet(out_dir)``) from
+    picking it up as samples.
 
     The manifest records per-shard ``samples``/``bytes`` and the reject
     tally by reason — counts come from the written data itself, so
@@ -203,6 +217,9 @@ def export_training_shards(
         min_caption_words=min_caption_words,
         max_dist=max_dist,
     )
+    if samples_per_shard is not None:
+        # one narrow count over the persisted stats lineage
+        n_shards = max(1, -(-kept.count() // int(samples_per_shard)))
     # ONE payload shuffle (pinned in tests/test_plans.py): because
     # shard = f(image_id), grouping payloads by shard ALSO co-locates each
     # payload with its kept-id row, so a cogroup on shard does the
@@ -278,6 +295,9 @@ def export_training_shards(
                 "samples": r["samples"], "bytes": int(r["bytes"])
             }
 
+    if write_rejects:
+        rejects.write.mode("overwrite").parquet(os.path.join(out_dir, "_rejects"))
+        rejects = images.sparkSession.read.parquet(os.path.join(out_dir, "_rejects"))
     reject_tally = {
         # collapse per-row detail (dup:<id>, decode:<err>) to the gate name
         r["reason"]: r["n"]
@@ -295,6 +315,8 @@ def export_training_shards(
         "shards": {str(k): shard_rows[k] for k in sorted(shard_rows)},
         "rejects": {k: reject_tally[k] for k in sorted(reject_tally)},
     }
+    if write_rejects:
+        manifest["rejects_path"] = "_rejects"
     with open(os.path.join(out_dir, "_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
     return manifest

@@ -96,12 +96,32 @@ def test_parquet_shards_roundtrip(spark, table, tmp_path):
     on_disk = json.load(open(os.path.join(out, "_manifest.json")))
     assert on_disk == manifest
     assert sum(s["samples"] for s in manifest["shards"].values()) == 8
+    # the reject audit log is written alongside (underscore-prefixed, so
+    # the dataset read above did NOT pick it up as samples)
+    assert manifest["rejects_path"] == "_rejects"
+    rej = spark.read.parquet(os.path.join(out, "_rejects"))
+    assert rej.count() == 5
+    assert {r["reason"] for r in rej.collect()} == {
+        "invariant", "caption", "dup:img0000", "dup:img0001"
+    } | {r["reason"] for r in rej.collect() if r["reason"].startswith("decode:")}
     # deterministic shard membership: re-export maps ids identically
     out2 = str(tmp_path / "shards2")
     export_training_shards(table, out2, n_shards=4, fmt="parquet")
     m1 = {r["image_id"]: r["shard"] for r in spark.read.parquet(out).collect()}
     m2 = {r["image_id"]: r["shard"] for r in spark.read.parquet(out2).collect()}
     assert m1 == m2
+
+
+def test_samples_per_shard(spark, table, tmp_path):
+    # 8 kept samples at 3/shard → ceil(8/3) = 3 shards; membership still
+    # hash-assigned (balance wobble expected), total exact
+    out = str(tmp_path / "sized")
+    manifest = export_training_shards(
+        table, out, samples_per_shard=3, fmt="parquet"
+    )
+    assert manifest["n_shards"] == 3
+    assert manifest["samples"] == 8
+    assert spark.read.parquet(out).count() == 8
 
 
 def test_tar_shards_webdataset(spark, table, tmp_path):
