@@ -248,7 +248,10 @@ def export_training_shards(
     if fmt == "parquet":
         sharded.write.partitionBy("shard").mode("overwrite").parquet(out_dir)
         spark = images.sparkSession
-        written = spark.read.parquet(out_dir)
+        # explicit schema: a partitioned write of ZERO kept rows creates no
+        # data files, and a schema-inferring read of the empty dir raises
+        # UNABLE_TO_INFER_SCHEMA instead of returning an empty frame
+        written = spark.read.schema(out_schema).parquet(out_dir)
         per_shard = (
             written.groupBy("shard")
             .agg(

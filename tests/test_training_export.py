@@ -124,6 +124,22 @@ def test_samples_per_shard(spark, table, tmp_path):
     assert spark.read.parquet(out).count() == 8
 
 
+def test_export_zero_kept(spark, table, tmp_path):
+    # every decodable sample rejected → empty manifest, no crash (a
+    # partitioned write of zero rows creates no data files; the manifest
+    # read-back must not rely on schema inference)
+    for fmt in ("parquet", "tar"):
+        out = str(tmp_path / f"empty_{fmt}")
+        m = export_training_shards(
+            table, out, n_shards=2, fmt=fmt,
+            quality_bounds={"entropy": (1e9, None)},
+        )
+        assert m["samples"] == 0 and m["shards"] == {}
+        # gate order: img_bad → decode, img_wrongph → invariant, and the
+        # other 11 decodable rows all fail quality (before caption/dup)
+        assert m["rejects"] == {"decode": 1, "invariant": 1, "quality": 11}
+
+
 def test_tar_shards_webdataset(spark, table, tmp_path):
     out = str(tmp_path / "tars")
     manifest = export_training_shards(table, out, n_shards=2, fmt="tar")
