@@ -39,7 +39,7 @@ from .functions.urlkit import Url
 from .operators.process import process_success_rows
 from .operators.wave import eligible_origins, select_wave
 from .sources import content as C
-from .sources.fetchsim import simulate_fetch
+from .sources.fetchsim import prepare_site, simulate_fetch
 from .tables import MUTABLE_TABLES, StateStore
 
 DAY_MS = 86_400_000
@@ -154,6 +154,7 @@ class CrawlEngine:
         self.clock: int | None = store.manifest.get("clock")
         self._rules_empty: bool | None = None  # cached; invalidated by add_rules
         self._lineage: list[tuple] = []  # (table, op, buckets) per wave
+        self._site_prep: tuple | None = None  # prepare_site(site), built lazily
         self._disc_caches: list[DataFrame] = []  # persisted discovery frames
         # incremental URL-seen filter (np.ndarray) — reload the committed
         # planes from the store so a restart/resume costs O(planes), not a
@@ -272,6 +273,18 @@ class CrawlEngine:
             _mark("rebucket")
         origins = store.read("origins")
         frontier = store.read("frontier")
+        # the wave consumes the resolved origins MoR read from FOUR actions
+        # (nv_min agg, wave-select semi + carry join, parked anti-join) and
+        # every one re-runs the base∪delta resolve plus its broadcast
+        # subjobs.  When the table is physically small (manifest bytes, the
+        # same gate as the broadcast hints) materialize the resolve ONCE per
+        # wave; past the gate the repeated reads stay distributed scans.
+        origins_ckpt = store.table_bytes("origins", staged=True) <= BROADCAST_DIM_BYTES_MAX
+        if origins_ckpt:
+            # persist, not localCheckpoint: lazy — the nv_min agg below is
+            # the materializing job (resolve+cache+agg in one), the later
+            # three consumers hit the cache
+            origins = origins.persist()
 
         # F1 + virtual clock advance (Crawl.java:104-122).  Kept as its own
         # tiny job (origins is the hosts table, ≪ frontier): making T a
@@ -284,6 +297,8 @@ class CrawlEngine:
         # jobs; a global agg always yields one row, collect is a single job
         nv_min = elig_all.agg(F.min("next_visit").alias("m")).collect()[0]["m"]
         if nv_min is None:
+            if origins_ckpt:
+                origins.unpersist()
             return {"idle": True, "fetched": 0}
         T = max(self.clock or 0, nv_min)
         self.clock = T
@@ -354,49 +369,78 @@ class CrawlEngine:
             n_parked = pst["rows_by_tag"].get("parked", 0)
             w = store.committed_wave + 1
             store.commit(w)
+            wave.unpersist()
+            if origins_ckpt:
+                origins.unpersist()
             return {"wave": w, "ts": T, "fetched": 0, "parked": n_parked}
 
         exch = self._exchange(wave, T, wave_buckets, wave_origin_ids, n_wave=n_wave)
-        # the robots-gate and fetch/denied unions CONCATENATE partitions
-        # (32 → 128 through two unions) — coalesce back to the session
-        # parallelism before checkpointing or every downstream write runs
-        # 4× tiny tasks / output files
-        par = self.spark.sparkContext.defaultParallelism
-        exch = exch.coalesce(par).localCheckpoint(eager=True)
         # AQE coalesces shuffle output by COMPRESSED byte size, so a wave
         # whose payloads compress well can materialize in 1-3 partitions —
         # starving every downstream per-wave job of parallelism (worst case
         # the Arrow image-decode stage, whose cost scales with ROWS, not
         # bytes: measured 39 s single-worker vs ~1.5 s balanced on a 60k-row
-        # wave of compressible images).  coalesce() can only merge, never
-        # split, so when the materialized exchange landed below the session
-        # parallelism, rebalance it with an explicit repartition keyed on
-        # the storage bucket (pmod(origin_id, buckets), the same expression
-        # the payload appends partition by): whole buckets stay in one task,
-        # so the warc/screenshot appends remain shuffle-free with ≤1 file
-        # per bucket per union side, while compute-dense stages get ~0.6×buckets
-        # task parallelism.  The condition fires only when the wave is
-        # physically small (< par × AQE advisory bytes compressed), so the
-        # extra shuffle is bounded; at cluster scale AQE already leaves
-        # ≥ par partitions and this is a no-op.
-        if exch.rdd.getNumPartitions() < min(par, self.store.buckets):
-            balanced = exch.repartition(
+        # wave of compressible images).  For waves whose ROW COUNT is known
+        # small (≤ BROADCAST_WAVE_KEYS_MAX — n_wave is already on the
+        # driver), repartition by the storage bucket BEFORE the one
+        # checkpoint: whole buckets stay in one task, so the payload appends
+        # are shuffle-free with ≤1 file per bucket, and compute-dense stages
+        # get full task parallelism.  The r5 shape checkpointed first,
+        # inspected the partition count, then repartitioned + checkpointed
+        # AGAIN — materializing every small wave's payloads twice.  Mega
+        # waves keep the inspect-then-rebalance fallback (an unconditional
+        # repartition there would shuffle payload bytes AQE already spread).
+        par = self.spark.sparkContext.defaultParallelism
+        exch_aligned = n_wave <= BROADCAST_WAVE_KEYS_MAX
+        if exch_aligned:
+            exch = exch.repartition(
                 max(par, self.store.buckets),
                 F.pmod(F.col("origin_id"), F.lit(self.store.buckets)),
             ).localCheckpoint(eager=True)
-            exch.unpersist()
-            exch = balanced
+        else:
+            # the robots-gate and fetch/denied unions CONCATENATE partitions
+            # (32 → 128 through two unions) — coalesce back to the session
+            # parallelism before checkpointing or every downstream write
+            # runs 4× tiny tasks / output files
+            exch = exch.coalesce(par).localCheckpoint(eager=True)
+            if exch.rdd.getNumPartitions() < min(par, self.store.buckets):
+                balanced = exch.repartition(
+                    max(par, self.store.buckets),
+                    F.pmod(F.col("origin_id"), F.lit(self.store.buckets)),
+                ).localCheckpoint(eager=True)
+                exch.unpersist()
+                exch = balanced
+                exch_aligned = True
         exch_partitions = exch.rdd.getNumPartitions()
         _mark("exchange")
 
         n_fetched = n_wave  # one visit row per wave row by construction
+
+        # per-partition wave metrics + the discovery gate count in ONE job
+        # over the checkpointed exchange (the r5 shape ran a separate
+        # succ.isEmpty() probe before the discovery machinery)
+        metric_rows = exch.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+            F.count("*").alias("visits"),
+            F.sum("content_length").alias("bytes"),
+            F.sum(F.when(F.col("status") < 0, 1).otherwise(0)).alias("errors"),
+            F.sum(
+                F.when(
+                    (F.col("status") >= 200)
+                    & (F.col("status") <= 299)
+                    & F.col("revisit_of_date").isNull(),
+                    1,
+                ).otherwise(0)
+            ).alias("__succ"),
+        ).collect()
+        n_succ = sum(r["__succ"] for r in metric_rows)
+        _mark("metrics_agg")
 
         # build all mutable-table deltas lazily, then ONE merge per table.
         # Every delta's plan freezes its staged-snapshot file list at
         # construction time, so the sinks below are independent.
         frontier_updates = self._frontier_visit_updates(exch, T)
         origin_updates = self._origin_updates(exch, wave, T)
-        sm_rows, frontier_new, new_origins = self._discover(exch, T)
+        sm_rows, frontier_new, new_origins = self._discover(exch, T, n_succ=n_succ)
 
         o_delta = origin_updates.withColumn("__tag", F.lit("visited"))
         if new_origins is not None:
@@ -411,7 +455,7 @@ class CrawlEngine:
         # net scaling efficiency drops 0.585→0.384.  On a real cluster with
         # headroom, a ThreadPoolExecutor around these four calls is the
         # one-line change.
-        self._append_visits_and_warc(exch, T)
+        self._append_visits_and_warc(exch, T, bucket_aligned=exch_aligned)
         _mark("visits_warc_append")
         ost = store.merge_mixed("origins", o_delta, None)
         _mark("origins_merge")
@@ -426,7 +470,7 @@ class CrawlEngine:
         n_disc = fst["insert_rows"]
         self._release_discovery_caches()
 
-        self._append_metrics(exch, T)
+        self._append_metrics(metric_rows, T)
         _mark("metrics_append")
 
         if cfg.screenshot_thumbnails:
@@ -460,6 +504,8 @@ class CrawlEngine:
         # block manager across waves and GC-stall the whole JVM
         exch.unpersist()
         wave.unpersist()
+        if origins_ckpt:
+            origins.unpersist()
         _mark("bloom_commit")
         return {
             "wave": w, "ts": T, "fetched": n_fetched, "parked": n_parked,
@@ -574,9 +620,11 @@ class CrawlEngine:
             .withColumn("loc_header", F.lit(None).cast("string"))
             .withColumn("prev_date", F.lit(None).cast("long"))
         )
+        if self._site_prep is None:
+            self._site_prep = prepare_site(self.site)
         fetched = simulate_fetch(
             allowed,
-            self.site,
+            self._site_prep,
             visits_hist,
             warc_hist,
             T,
@@ -643,7 +691,9 @@ class CrawlEngine:
         return exch.withColumn("revisit_of_date", F.coalesce(F.col("prev_date"), F.col("dup_date")))
 
     # --------------------------------------------------------- state sinks
-    def _append_visits_and_warc(self, exch: DataFrame, T: int) -> None:
+    def _append_visits_and_warc(
+        self, exch: DataFrame, T: int, bucket_aligned: bool = False
+    ) -> None:
         date_s = F.lit(T).cast("string")
         with_ids = exch.withColumn("date_s", date_s)
         resp_id = F.unhex(
@@ -670,7 +720,9 @@ class CrawlEngine:
             F.col("digest8").alias("response_payload_digest"),
             "revisit_of_date",
         )
-        self.store.append("visits", visits, self.store.committed_wave + 1)
+        self.store.append(
+            "visits", visits, self.store.committed_wave + 1, bucket_aligned=bucket_aligned
+        )
 
         stored = with_ids.filter(F.col("status") > 0)
         requests = stored.select(
@@ -874,7 +926,7 @@ class CrawlEngine:
             df.unpersist()
         self._disc_caches = []
 
-    def _discover(self, exch: DataFrame, T: int):
+    def _discover(self, exch: DataFrame, T: int, n_succ: int | None = None):
         """process() + enqueue(): extraction, depth cut, URL-seen anti-join.
 
         Returns lazy deltas ``(sm_rows, frontier_new, new_origins)`` (each
@@ -886,9 +938,11 @@ class CrawlEngine:
         succ = exch.filter(
             (F.col("status") >= 200) & (F.col("status") <= 299) & F.col("revisit_of_date").isNull()
         )
-        # cheap early-out on cached exch: scheduler-only waves (no successful
-        # processable fetches) skip the whole discovery machinery
-        if succ.isEmpty():
+        # cheap early-out: scheduler-only waves (no successful processable
+        # fetches) skip the whole discovery machinery.  The caller passes
+        # the count from the fused metrics agg; fall back to one probe job
+        # on the cached exchange otherwise.
+        if (n_succ == 0) if n_succ is not None else succ.isEmpty():
             return None, None, None
         disc = process_success_rows(succ, cfg.user_agent, cfg.max_robots_bytes).persist()
         self._disc_caches.append(disc)
@@ -1143,18 +1197,20 @@ class CrawlEngine:
                 raise RuntimeError(f"Hash collision: {clash[0]['path']} vs {clash[0]['__p']}")
         return sm_rows, all_new, new_origins
 
-    def _append_metrics(self, exch: DataFrame, T: int) -> None:
+    def _append_metrics(self, metric_rows: list, T: int) -> None:
         wave_n = self.store.committed_wave + 1
-        m = exch.groupBy(F.spark_partition_id().alias("partition_id")).agg(
-            F.count("*").alias("visits"),
-            F.sum("content_length").alias("bytes"),
-            F.sum(F.when(F.col("status") < 0, 1).otherwise(0)).alias("errors"),
+        # ≤ one row per exchange partition, already collected by the step's
+        # fused metrics+discovery-gate agg: write the parquet driver-side —
+        # a Spark write job for ≤32 rows was pure scheduling floor
+        # (~0.3 s/wave)
+        self.store.append_rows(
+            "metrics",
+            [
+                (wave_n, T, r["partition_id"], r["visits"], r["bytes"], r["errors"])
+                for r in metric_rows
+            ],
+            wave_n,
         )
-        m = m.select(
-            F.lit(wave_n).alias("wave"), F.lit(T).alias("wave_ts"), "partition_id",
-            "visits", "bytes", "errors",
-        )
-        self.store.append("metrics", m, wave_n)
         rows = [(wave_n, t, op, None, b) for (t, op, b) in self._lineage] or [
             (wave_n, "visits", "append", None, None)
         ]

@@ -22,8 +22,73 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import functools
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# --- shared tuning for the LSH candidate joins -----------------------------
+# Bit-mask verify gate: exact set-intersection via per-doc bit masks needs a
+# global element→bit index collected to the driver; past the cap the operator
+# falls back to the array-verify shape.  4096 bits = 64 longs / doc.
+MASK_VOCAB_CAP = 4096
+# (band, bucket) groups above this size take the salted self-join branch —
+# a bucket of m docs emits O(m²) pairs from ONE task otherwise (a window
+# partition / join key cannot be split by AQE, guide §2.5 "split hot keys").
+SALT_BUCKET_MIN = 1024
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the session parallelism when the scan
+    landed on fewer partitions (a single small parquet file = one row group
+    = ONE task for every downstream narrow op — the map-side work of the
+    signature stages would run single-core).  No-op at scale, where inputs
+    already carry ≥ parallelism partitions."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
+def _bucket_pairs(allb: DataFrame, extra_cols: list[str], keep_band: bool = False) -> DataFrame:
+    """Candidate pairs (doc_a < doc_b) from band rows keyed by the two-long
+    md5 digest (``bhi``/``blo`` — long equality ⟺ md5 equality, no 32-char
+    string compares in the join probe), with per-bucket skew splitting:
+    buckets larger than ``SALT_BUCKET_MIN`` join on an extra deterministic
+    salt (left row: pmod(xxhash64(doc_id), S); right row: exploded 0..S-1)
+    so a hot bucket's O(m²) pair fan-out spreads over S tasks instead of
+    one.  ``extra_cols`` ride both sides (suffixed _a/_b).
+
+    Requires a ``__bsz`` column (bucket size) on ``allb``.
+    """
+    par = allb.sparkSession.sparkContext.defaultParallelism
+    keys = ["band", "bhi", "blo"]
+    sel_a = [F.col("x.doc_id").alias("doc_a")] + [
+        F.col(f"x.{c}").alias(f"{c}_a") for c in extra_cols
+    ]
+    sel_b = [F.col("y.doc_id").alias("doc_b")] + [
+        F.col(f"y.{c}").alias(f"{c}_b") for c in extra_cols
+    ]
+    if keep_band:
+        sel_b.append(F.col("x.band").alias("band"))
+
+    def _self_join(df: DataFrame, salted: bool) -> DataFrame:
+        if salted:
+            x = df.withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(par))).alias("x")
+            y = df.withColumn(
+                "salt", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(par - 1).cast("long")))
+            ).alias("y")
+            cond = [F.col(f"x.{k}") == F.col(f"y.{k}") for k in keys + ["salt"]]
+        else:
+            x, y = df.alias("x"), df.alias("y")
+            cond = [F.col(f"x.{k}") == F.col(f"y.{k}") for k in keys]
+        cond.append(F.col("x.doc_id") < F.col("y.doc_id"))
+        j = x.join(y, functools.reduce(lambda a, b: a & b, cond))
+        return j.select(*sel_a, *sel_b)
+
+    cold = allb.filter(F.col("__bsz") <= SALT_BUCKET_MIN).drop("__bsz")
+    hot = allb.filter(F.col("__bsz") > SALT_BUCKET_MIN).drop("__bsz")
+    return _self_join(cold, salted=False).unionByName(_self_join(hot, salted=True))
 
 # word tokenization shared by all operators (and mirrored in oracle SQL):
 # lowercase, split on single spaces (the synthetic corpus is space-separated)
@@ -47,32 +112,137 @@ def exact_dedup(docs: DataFrame, key=None) -> DataFrame:
     )
 
 
+def _word_sig_bands(docs: DataFrame, vocab: list[str]) -> DataFrame:
+    """Word-unigram MinHash band rows via ONE Arrow stage: per doc, the
+    distinct word set → 6 exact md5 minhash lanes (hashlib — byte-identical
+    to the JVM ``md5`` the oracle mirrors) → 3 band digests emitted as two
+    longs (``bhi``/``blo`` = the 16-byte md5 of ``mh_a|mh_b``; long-pair
+    equality ⟺ md5 equality) + an exact word-set bit mask over the global
+    ``vocab`` index.
+
+    Replaces the explode → ``min(md5 string)`` groupBy: a string min
+    aggregate cannot use HashAggregate (non-mutable buffer type) so Spark
+    planned SortAggregate — two sorts of the exploded corpus; the Arrow
+    stage is one pass over the raw docs with zero exchange before banding.
+    """
+    import hashlib
+    import struct as _struct
+
+    import pandas as pd
+
+    vpos = {w: i for i, w in enumerate(vocab)}
+
+    def gen(it):
+        md5 = hashlib.md5
+        unpack = _struct.Struct(">qq").unpack
+        for pdf in it:
+            ids, masks, bands_, bhis, blos = [], [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"].values, pdf["text"].values):
+                if text is None:
+                    continue
+                words = set(text.lower().split(" "))
+                words.discard("")
+                if not words:
+                    continue
+                mask = 0
+                for w in words:
+                    mask |= 1 << vpos[w]
+                if mask >= 1 << 63:  # two's-complement for the LongType column
+                    mask -= 1 << 64
+                mhs = [
+                    min(md5((f"w{i}|" + w).encode()).hexdigest() for w in words)
+                    for i in range(6)
+                ]
+                for b in range(3):
+                    hi, lo = unpack(md5((mhs[2 * b] + "|" + mhs[2 * b + 1]).encode()).digest())
+                    ids.append(doc_id)
+                    masks.append(mask)
+                    bands_.append(b)
+                    bhis.append(hi)
+                    blos.append(lo)
+            yield pd.DataFrame(
+                {"doc_id": ids, "mask": masks, "band": bands_, "bhi": bhis, "blo": blos}
+            )
+
+    return _spread(docs.select("doc_id", "text")).mapInPandas(
+        gen, "doc_id long, mask long, band int, bhi long, blo long"
+    )
+
+
 def word_jaccard_pairs(
     docs: DataFrame, threshold: float = 0.9, max_bucket_size: int | None = None
 ) -> DataFrame:
     """Near-dup pairs by Jaccard over distinct word sets: **MinHash-LSH
-    candidates → exact verify** (same scale shape as ``ngram_jaccard_pairs``
-    — the word self-join candidate generator it replaces was quadratic
-    within stop-words and capped recall with a df cutoff).
+    candidates → exact verify** — semantics identical to the r5 operator
+    (same md5 banding, same exact word-set Jaccard, mirrored by the frozen
+    oracle), restructured for speed:
 
-    Candidates come from **word-unigram** MinHash (min(md5(seed|word)) — the
-    unbiased estimator of word-SET Jaccard; shingle signatures would miss
-    reordered near-dups) with 3×2 banding: per-pair recall ≈ 1-(1-s²)³ ≈
-    99.3% at s=0.9, deterministic given md5 and mirrored exactly by the
-    oracle.  Exact word-set Jaccard is then computed only for candidates
-    via ``array_intersect``.  score ×1e6 → BIGINT for oracle comparison.
+    - signatures+banding run in one Arrow stage (``_word_sig_bands``) —
+      the old ``min(md5 string)`` groupBy planned SortAggregate (string
+      buffers defeat HashAggregate) and sorted the exploded corpus twice;
+    - band buckets join on two-long md5 digests instead of 32-char strings;
+    - hot buckets (> ``SALT_BUCKET_MIN`` docs) are salt-split so one
+      non-discriminative bucket cannot serialize O(m²) pair generation on
+      a single task (guide §2.5);
+    - when the global vocabulary fits ``MASK_VOCAB_CAP`` (64 here — one
+      long), the exact verify is ``bit_count(mask_a & mask_b)`` computed
+      INSIDE the join projection with the ≥ threshold filter applied
+      before the pair ``distinct`` — no collect_set, no array joins, and
+      the distinct dedups only surviving pairs.  Larger vocabularies fall
+      back to the r5 array-verify shape (``_word_jaccard_pairs_arrays``).
 
-    ``max_bucket_size`` bounds the worst case: a band bucket holding m docs
-    contributes O(m²) candidate pairs, so a pathological corpus (this
-    synthetic one: word sets overlap so heavily that ~70% of ALL pairs are
-    true LSH candidates) makes the unguarded operator quadratic.  When set,
-    (band, bucket) groups larger than the cap are dropped BEFORE the
-    self-join — the standard LSH df-cap: an over-full bucket means that
-    band is non-discriminative for those docs, and a true near-dup pair is
-    still found by any of its other, selective bands.  Deterministic and
-    mirrored exactly by the DuckDB oracle (dedup_word_jaccard_guarded);
-    ``None`` (default) keeps the exact unguarded semantics.
+    ``max_bucket_size`` (the guarded df-cap) drops over-full (band, bucket)
+    groups before pair generation, exactly as before.
     """
+    spark = docs.sparkSession
+    w = (
+        _spread(docs.select("doc_id", "text"))
+        .select(F.explode(_words()).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    vocab = sorted(
+        r["word"] for r in w.select("word").distinct().limit(65).collect()
+    )
+    if len(vocab) > 64:
+        return _word_jaccard_pairs_arrays(docs, threshold, max_bucket_size)
+    allb = _word_sig_bands(docs, vocab)
+    wbb = Window.partitionBy("band", "bhi", "blo")
+    # persist: the cold/hot self-join consumes this subtree on FOUR sides —
+    # unpersisted, the Arrow sig stage and the bucket-size window execute
+    # once per side (measured 8 MapInPandas / 20 Exchange nodes in the plan)
+    # repartition before persist: AQE coalesces the window's 15k-row output
+    # to ~1 partition, and a BroadcastHashJoin's parallelism is its STREAM
+    # side's partition count — the hot bucket's O(m²) probe matches would
+    # all be produced by one task (measured 3× the whole query).  Hashing on
+    # doc_id spreads hot-bucket rows uniformly over the session parallelism.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    allb = (
+        allb.withColumn("__bsz", F.count("*").over(wbb))
+        .repartition(par, "doc_id")
+        .persist()
+    )
+    if max_bucket_size is not None:
+        allb = allb.filter(F.col("__bsz") <= F.lit(int(max_bucket_size)))
+    pairs = _bucket_pairs(allb, ["mask"])
+    common = F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b"))).cast("long")
+    sz_a, sz_b = F.bit_count(F.col("mask_a")), F.bit_count(F.col("mask_b"))
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            common.alias("common"),
+            F.round(common * 1000000.0 / (sz_a + sz_b - common)).cast("long").alias("jaccard_e6"),
+        )
+        .filter(F.col("jaccard_e6") >= int(threshold * 1_000_000))
+        .distinct()
+    )
+
+
+def _word_jaccard_pairs_arrays(
+    docs: DataFrame, threshold: float = 0.9, max_bucket_size: int | None = None
+) -> DataFrame:
+    """The r5 array-verify shape — fallback when the corpus vocabulary
+    exceeds the bit-mask gate (same output, see ``word_jaccard_pairs``)."""
     # NO distinct: min() is duplicate-safe and collect_set dedups on its
     # own — the global (doc, word) distinct was a full shuffle of the
     # exploded corpus for nothing
@@ -179,6 +349,80 @@ def char_ngram_shingles(
     return out.distinct() if distinct else out
 
 
+def _ngram_sig_bands(
+    docs: DataFrame,
+    n: int,
+    vocab: list[str],
+    bands: int,
+    rows_per_band: int,
+    sig_n: int,
+    sig_stride: int,
+) -> DataFrame:
+    """Char-shingle MinHash band rows + verify-set bit masks in ONE Arrow
+    stage (the ngram twin of ``_word_sig_bands``): per doc, the ``sig_n``-
+    char stride shingles (whole text for short docs) → ``bands×rows`` exact
+    md5 minhash lanes → band digests as two longs, plus the distinct
+    ``n``-gram set encoded as a fixed-width multi-long bit mask over the
+    global gram ``vocab`` and its exact size ``sz``.
+    """
+    import hashlib
+    import struct as _struct
+
+    import pandas as pd
+
+    vpos = {g: i for i, g in enumerate(vocab)}
+    width = max(1, (len(vocab) + 63) // 64)
+    k = bands * rows_per_band
+
+    def gen(it):
+        md5 = hashlib.md5
+        unpack = _struct.Struct(">qq").unpack
+        for pdf in it:
+            ids, masks, szs, bands_, bhis, blos = [], [], [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"].values, pdf["text"].values):
+                if not text:
+                    continue
+                L = len(text)
+                if L >= sig_n:
+                    shingles = {text[i : i + sig_n] for i in range(0, L - sig_n + 1, sig_stride)}
+                else:
+                    shingles = {text}
+                grams = {text[i : i + n] for i in range(L - n + 1)} if L >= n else set()
+                words = [0] * width
+                for g in grams:
+                    p = vpos[g]
+                    words[p >> 6] |= 1 << (p & 63)
+                # two's-complement to signed 64-bit for the LongType column
+                mask = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+                mhs = [
+                    min(md5((f"g{i}|" + s).encode()).hexdigest() for s in shingles)
+                    for i in range(k)
+                ]
+                for b in range(bands):
+                    lane = "|".join(mhs[rows_per_band * b : rows_per_band * (b + 1)])
+                    hi, lo = unpack(md5(lane.encode()).digest())
+                    ids.append(doc_id)
+                    masks.append(mask)
+                    szs.append(len(grams))
+                    bands_.append(b)
+                    bhis.append(hi)
+                    blos.append(lo)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "mask": masks,
+                    "sz": szs,
+                    "band": bands_,
+                    "bhi": bhis,
+                    "blo": blos,
+                }
+            )
+
+    return _spread(docs.select("doc_id", "text")).mapInPandas(
+        gen, "doc_id long, mask array<long>, sz int, band int, bhi long, blo long"
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -188,7 +432,81 @@ def ngram_jaccard_pairs(
     sig_n: int = 8,
     sig_stride: int = 2,
 ) -> DataFrame:
-    """Char-n-gram Jaccard near-dup pairs: **LSH prefilter → exact verify**.
+    """Char-n-gram Jaccard near-dup pairs: **LSH prefilter → exact verify**
+    — semantics identical to the r5 operator (same md5 shingle banding,
+    same exact n-gram-set Jaccard, mirrored by the frozen oracle).  Like
+    ``word_jaccard_pairs`` the hot path runs signatures+banding in one
+    Arrow stage (no SortAggregate over string minhash lanes), joins band
+    buckets on two-long digests with hot-bucket salting, and verifies via
+    global-vocab bit masks (``sum(bit_count(a&b))`` over the zipped mask
+    words) with the threshold filter applied before the pair distinct;
+    gram vocabularies past ``MASK_VOCAB_CAP`` fall back to the r5
+    array-verify shape (``_ngram_jaccard_pairs_arrays``).  Docs with no
+    ``n``-gram (shorter than n) generate no verified pair, exactly as the
+    old inner join against the gram table dropped them.
+    """
+    g_vocab = (
+        _spread(docs.select("doc_id", "text"))
+        .select(
+            F.explode(
+                F.when(
+                    F.length("text") >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("text") - (n - 1)),
+                        lambda i: F.col("text").substr(i, F.lit(n)),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("gram")
+        )
+        .filter(F.length("gram") == n)
+        .distinct()
+        .limit(MASK_VOCAB_CAP + 1)
+    )
+    vocab = sorted(r["gram"] for r in g_vocab.collect())
+    if len(vocab) > MASK_VOCAB_CAP:
+        return _ngram_jaccard_pairs_arrays(
+            docs, n, threshold, bands, rows_per_band, sig_n, sig_stride
+        )
+    allb = _ngram_sig_bands(docs, n, vocab, bands, rows_per_band, sig_n, sig_stride)
+    wbb = Window.partitionBy("band", "bhi", "blo")
+    # persist: see word_jaccard_pairs — four join sides share this subtree
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    allb = (
+        allb.withColumn("__bsz", F.count("*").over(wbb))
+        .repartition(par, "doc_id")  # see word_jaccard_pairs: BHJ stream-side parallelism
+        .persist()
+    )
+    pairs = _bucket_pairs(allb, ["mask", "sz"])
+    common = F.aggregate(
+        F.zip_with("mask_a", "mask_b", lambda a, b: F.bit_count(a.bitwiseAND(b)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pairs.filter((F.col("sz_a") > 0) & (F.col("sz_b") > 0))
+        .withColumn("__c", common)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("__c") * 1000000.0 / (F.col("sz_a") + F.col("sz_b") - F.col("__c")))
+            .cast("long")
+            .alias("jaccard_e6"),
+        )
+        .filter(F.col("jaccard_e6") >= int(threshold * 1_000_000))
+        .distinct()
+    )
+
+
+def _ngram_jaccard_pairs_arrays(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    sig_n: int = 8,
+    sig_stride: int = 2,
+) -> DataFrame:
+    """The r5 array-verify shape — fallback past the mask vocab gate.
 
     The old shape (shingle self-join) is quadratic within hot grams; this is
     the scale path: MinHash signatures → banded bucket join generates
@@ -321,34 +639,70 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return w.groupBy("doc_id").agg(*aggs)
 
 
+def _minhash_band_rows(docs: DataFrame) -> DataFrame:
+    """Word-3-gram-shingle MinHash band rows in ONE Arrow stage (the
+    ``minhash_signatures`` + banding pipeline of r5, restructured like
+    ``_word_sig_bands``): the explode → distinct → ``min(md5 string)``
+    groupBy planned SortAggregate (string buffers defeat HashAggregate) and
+    shuffled the exploded shingle corpus twice; here the exact same md5
+    lanes and band digests (as two longs) come out of one pass over the
+    raw docs.  Shingling mirrors ``word_shingles`` byte-for-byte: the
+    space-split word list (empty tokens kept), consecutive triples joined
+    with single spaces, distinct per doc."""
+    import hashlib
+    import struct as _struct
+
+    import pandas as pd
+
+    def gen(it):
+        md5 = hashlib.md5
+        unpack = _struct.Struct(">qq").unpack
+        for pdf in it:
+            ids, bands_, bhis, blos = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"].values, pdf["text"].values):
+                if text is None:
+                    continue
+                words = text.lower().split(" ")
+                if len(words) < 3:
+                    continue
+                shingles = {
+                    " ".join(words[i : i + 3]) for i in range(len(words) - 2)
+                }
+                mhs = [
+                    min(md5((seed + "|" + sh).encode()).hexdigest() for sh in shingles)
+                    for seed in MINHASH_SEEDS
+                ]
+                for b in range(3):
+                    hi, lo = unpack(md5((mhs[2 * b] + "|" + mhs[2 * b + 1]).encode()).digest())
+                    ids.append(doc_id)
+                    bands_.append(b)
+                    bhis.append(hi)
+                    blos.append(lo)
+            yield pd.DataFrame({"doc_id": ids, "band": bands_, "bhi": bhis, "blo": blos})
+
+    return _spread(docs.select("doc_id", "text")).mapInPandas(
+        gen, "doc_id long, band int, bhi long, blo long"
+    )
+
+
 def minhash_lsh_candidates(docs: DataFrame) -> DataFrame:
     """LSH banding (3 bands × 2 rows): docs sharing any band bucket.
 
     Returns candidate pairs (doc_a < doc_b, band) — the scale path for
-    near-dup detection: bucket join instead of all-pairs.
+    near-dup detection: bucket join instead of all-pairs.  Same candidate
+    set as r5 (band digest equality ⟺ the old md5-string bucket equality);
+    executed via the Arrow signature stage + two-long bucket keys with
+    hot-bucket salting (see ``word_jaccard_pairs``).
     """
-    sig = minhash_signatures(docs)
-    bands = []
-    for band in range(3):
-        b = sig.select(
-            "doc_id",
-            F.lit(band).alias("band"),
-            F.md5(F.concat_ws("|", f"mh{2 * band}", f"mh{2 * band + 1}")).alias("bucket"),
-        )
-        bands.append(b)
-    allb = bands[0].unionByName(bands[1]).unionByName(bands[2])
-    a, b = allb.alias("a"), allb.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), F.col("a.band").alias("band"))
-        .distinct()
-
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    wbb = Window.partitionBy("band", "bhi", "blo")
+    allb = (
+        _minhash_band_rows(docs)
+        .withColumn("__bsz", F.count("*").over(wbb))
+        .repartition(par, "doc_id")
+        .persist()
     )
+    return _bucket_pairs(allb, [], keep_band=True).distinct()
 
 
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:

@@ -104,18 +104,26 @@ def _local_components(edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for row in edges.collect():
-        ra, rb = find(row["u"]), find(row["v"])
+    # Arrow both ways: toPandas() instead of collect() (no per-row py4j
+    # pickling) and createDataFrame(pandas) instead of a row list — at the
+    # 200k-edge threshold the row-path transfer alone cost ~1-2 s per call
+    # (it dominated phash_clusters), the Arrow path is milliseconds.
+    pdf = edges.toPandas()
+    for ra, rb in zip(pdf["u"].values, pdf["v"].values):
+        ra, rb = find(ra), find(rb)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     node_t = edges.schema["u"].dataType
     from pyspark.sql import types as T
 
+    import pandas as pd
+
     schema = T.StructType(
         [T.StructField("node", node_t), T.StructField("component", node_t)]
     )
-    rows = [(n, find(n)) for n in parent]
-    return edges.sparkSession.createDataFrame(rows, schema)
+    nodes = list(parent)
+    out = pd.DataFrame({"node": nodes, "component": [find(n) for n in nodes]})
+    return edges.sparkSession.createDataFrame(out, schema)
 
 
 def connected_components(

@@ -36,6 +36,17 @@ N_BITS = 8
 DIM = 64  # embeddings table vector width (TESTDATA.md)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the session parallelism when the scan
+    landed on fewer partitions (a single small parquet file = one row group
+    = ONE task): the per-vector dot-product folds and the Arrow matmul
+    projections would otherwise run single-core.  No-op at scale."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 @functools.lru_cache(maxsize=None)
 def hyperplane(b: int, dim: int = DIM) -> tuple:
     """Deterministic integer hyperplane for sign bit ``b``: component i =
@@ -288,8 +299,9 @@ def ivf_topk(
     n_probe; tests/test_dedup_recall.py pins measured recall vs the exact
     baseline on the synthetic corpus.
     """
-    assigned = ivf_assign(embeddings, n_clusters)
     q = query_vector(embeddings)
+    embeddings = _spread(embeddings)
+    assigned = ivf_assign(embeddings, n_clusters)
     cents = (
         embeddings.orderBy("vec_id")
         .limit(n_clusters)
@@ -332,9 +344,9 @@ def ann_topk(embeddings: DataFrame, k: int = 10, bands: int = 3, rows_per_band: 
     Approximate by design (bands may miss true neighbors); the exactness
     contract is only "top-k of the candidate set", which the oracle mirrors.
     """
-    buckets = banded_lsh_buckets(embeddings, bands, rows_per_band)
     q = query_vector(embeddings)
     qid = embeddings.orderBy("vec_id").limit(1).select("vec_id")
+    buckets = banded_lsh_buckets(embeddings, bands, rows_per_band)
     qbucket = buckets.join(qid, "vec_id").select(
         F.col("band").alias("qband"), F.col("bucket").alias("qb")
     )

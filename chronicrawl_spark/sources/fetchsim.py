@@ -48,18 +48,14 @@ def asof_prev_visit(visits: DataFrame, wave_ts: int, method: str = "GET") -> Dat
     )
 
 
-def simulate_fetch(
-    wave: DataFrame,
-    site: DataFrame,
-    visits: DataFrame,
-    warc_records: DataFrame,
-    wave_ts: int,
-    dedupe_server: bool = True,
-) -> DataFrame:
-    """Join-based fetch for the allowed rows of a wave.
+def prepare_site(site: DataFrame) -> tuple:
+    """Persisted (server view, known-host view) of a fixture site table.
 
-    Adds: status, content_type, body, etag, last_modified, loc_header,
-    prev_date (server-304 revisit pointer, null otherwise).
+    The fetch join broadcasts both per wave; preparing them ONCE per engine
+    caches the projected rows and the hosts ``distinct`` (a per-wave shuffle
+    of the whole site otherwise) so each wave's broadcast build reads from
+    storage memory instead of re-running the fixture plan — the guide's
+    "heavyweight init once per task" applied at wave granularity.
     """
     s = site.select(
         F.col("url").alias("__site_url"),
@@ -69,12 +65,47 @@ def simulate_fetch(
         F.col("etag").alias("__s_etag"),
         F.col("last_modified").alias("__s_lm"),
         F.col("location").alias("__s_loc"),
-    )
+    ).persist()
     hosts = (
         site.select(F.regexp_extract("url", r"^(https?://[^/]+)", 1).alias("origin"))
         .distinct()
         .withColumn("__host_known", F.lit(True))
+        .persist()
     )
+    return s, hosts
+
+
+def simulate_fetch(
+    wave: DataFrame,
+    site,
+    visits: DataFrame,
+    warc_records: DataFrame,
+    wave_ts: int,
+    dedupe_server: bool = True,
+) -> DataFrame:
+    """Join-based fetch for the allowed rows of a wave.
+
+    ``site`` is either the raw site table or a ``prepare_site`` tuple.
+    Adds: status, content_type, body, etag, last_modified, loc_header,
+    prev_date (server-304 revisit pointer, null otherwise).
+    """
+    if isinstance(site, tuple):
+        s, hosts = site
+    else:
+        s = site.select(
+            F.col("url").alias("__site_url"),
+            F.col("status").alias("__s_status"),
+            F.col("content_type").alias("__s_ct"),
+            F.col("body").alias("__s_body"),
+            F.col("etag").alias("__s_etag"),
+            F.col("last_modified").alias("__s_lm"),
+            F.col("location").alias("__s_loc"),
+        )
+        hosts = (
+            site.select(F.regexp_extract("url", r"^(https?://[^/]+)", 1).alias("origin"))
+            .distinct()
+            .withColumn("__host_known", F.lit(True))
+        )
     # the fixture site is a small table (the real web is a socket, not a
     # join) — broadcast it so the wave never shuffles for the fetch
     out = wave.join(F.broadcast(s), wave["url"] == s["__site_url"], "left").drop("__site_url")

@@ -259,6 +259,7 @@ class StateStore:
         buckets: int = 32,
         delta_chain_k: int = 8,
         delta_broadcast_rows: int = 1_000_000,
+        mor_window_base_bytes: int = 64 * 1024 * 1024,
     ):
         self.spark = spark
         self.root = root
@@ -266,6 +267,14 @@ class StateStore:
         self.delta_chain_k = int(os.environ.get("CHRONICRAWL_DELTA_CHAIN_K", delta_chain_k))
         self.delta_broadcast_rows = int(
             os.environ.get("CHRONICRAWL_DELTA_BCAST_ROWS", delta_broadcast_rows)
+        )
+        # MoR resolve shape gate: bases at or below this physical size take
+        # the single newest-wins window (one small shuffle, ~3 fewer
+        # sequential stages than the broadcast split — measured ~0.5 s/wave
+        # at bench scale); bigger bases keep the broadcast anti/semi split
+        # whose point is never shuffling a 10^10-row base.
+        self.mor_window_base_bytes = int(
+            os.environ.get("CHRONICRAWL_MOR_WINDOW_BASE_BYTES", mor_window_base_bytes)
         )
         os.makedirs(root, exist_ok=True)
         self.manifest = self._load_manifest()
@@ -399,36 +408,41 @@ class StateStore:
         and AQE/SMJ take over."""
         manifest = self._staged if staged else self.manifest
         total = 0
-
-        def _du(path: str) -> int:
-            n = 0
-            for dirpath, _dirs, files in os.walk(path):
-                for f in files:
-                    try:
-                        n += os.path.getsize(os.path.join(dirpath, f))
-                    except OSError:
-                        pass
-            return n
-
-        def _du_memo(key: tuple, path: str) -> int:
-            # data files under a (table, version) dir are immutable once
-            # written (COW versions / append deltas), so a measured size
-            # stays valid for the store's lifetime
-            n = self._size_memo.get(key)
-            if n is None:
-                n = _du(path)
-                self._size_memo[key] = n
-            return n
-
         bmap = manifest.get("mutable", {}).get(table, {})
         for b, v in bmap.items():
-            total += _du_memo(
-                (table, "v", v, b), os.path.join(self.root, table, f"v{v}", f"bucket={b}")
-            )
+            total += self._du_version_bytes(table, v, b)
         dmap = manifest.get("mutable_deltas", {}).get(table, {})
         for v in {v for chain in dmap.values() for v in chain}:
-            total += _du_memo((table, "d", v), os.path.join(self.root, table, f"d{v}"))
+            total += self._du_memo(
+                (table, "d", v), os.path.join(self.root, table, f"d{v}")
+            )
         return total
+
+    @staticmethod
+    def _du(path: str) -> int:
+        n = 0
+        for dirpath, _dirs, files in os.walk(path):
+            for f in files:
+                try:
+                    n += os.path.getsize(os.path.join(dirpath, f))
+                except OSError:
+                    pass
+        return n
+
+    def _du_memo(self, key: tuple, path: str) -> int:
+        # data files under a (table, version) dir are immutable once
+        # written (COW versions / append deltas), so a measured size
+        # stays valid for the store's lifetime
+        n = self._size_memo.get(key)
+        if n is None:
+            n = self._du(path)
+            self._size_memo[key] = n
+        return n
+
+    def _du_version_bytes(self, table: str, v, b) -> int:
+        return self._du_memo(
+            (table, "v", v, b), os.path.join(self.root, table, f"v{v}", f"bucket={b}")
+        )
 
     def set_clock(self, ms: int) -> None:
         """Stage the engine's virtual clock; published with the wave commit
@@ -592,7 +606,14 @@ class StateStore:
             vers = {v for b in dirty for v in dmap.get(b, [])}
             # missing counts (legacy manifest) force the window path
             drows = sum(drows_map.get(str(v), self.delta_broadcast_rows + 1) for v in vers)
-            if base_bmap and drows <= self.delta_broadcast_rows:
+            base_bytes = sum(
+                self._du_version_bytes(table, v, b) for b, v in base_bmap.items()
+            )
+            if (
+                base_bmap
+                and drows <= self.delta_broadcast_rows
+                and base_bytes > self.mor_window_base_bytes
+            ):
                 # small outstanding delta: split the base on broadcast delta
                 # keys — untouched keys stream straight through (pushdown
                 # preserved, zero base shuffle); only overlap∪deltas pay the
@@ -691,12 +712,17 @@ class StateStore:
     def _bucket_col(self, df: DataFrame, table: str):
         return F.pmod(F.col("origin_id"), F.lit(self.buckets)).cast("int")
 
-    def append(self, table: str, df: DataFrame, wave: int) -> None:
+    def append(self, table: str, df: DataFrame, wave: int, bucket_aligned: bool = False) -> None:
         """Append-only snapshot write (Iceberg append analog).
 
         ``BUCKETED_APPEND`` tables land under ``wave=N/bucket=B`` with one
         file per bucket; the bucket list is recorded in the manifest so
         ``read_pruned`` prunes by file list, never by directory listing.
+
+        ``bucket_aligned=True`` promises the caller already partitioned
+        ``df`` by ``pmod(origin_id, buckets)`` (each bucket lives in exactly
+        one task): the narrow-table hash repartition is skipped —
+        ``sortWithinPartitions`` alone still yields ≤1 file per bucket.
         """
         schema = APPEND_TABLES[table]
         out = df.select([F.col(f.name).cast(f.dataType) for f in schema.fields])
@@ -715,9 +741,10 @@ class StateStore:
             # of the reference's (origin_id, path_id, date) PK index,
             # schema.sql:131).  sortWithinPartitions = no extra shuffle.
             out = out.withColumn("bucket", self._bucket_col(out, table))
-            if table in ("warc_records", "screenshots"):
-                # payload-heavy: avoid a full-body shuffle — sort within the
-                # existing partitions; ≤1 file per (task, bucket)
+            if bucket_aligned or table in ("warc_records", "screenshots"):
+                # payload-heavy or already bucket-partitioned by the caller:
+                # avoid a shuffle — sort within the existing partitions;
+                # ≤1 file per (task, bucket)
                 out = out.sortWithinPartitions("bucket", "origin_id", "path_id")
             else:
                 # narrow rows: hash-repartition → ≤1 file per bucket per wave
@@ -744,6 +771,42 @@ class StateStore:
             if out.rdd.getNumPartitions() > par:
                 out = out.coalesce(par)
             out.write.mode("overwrite").parquet(path)  # idempotent on wave retry
+        with self._mlock:
+            staged = self._staged["append"].setdefault(table, [])
+            if wave not in staged:
+                staged.append(wave)
+        self._bump_epoch()
+
+    def append_rows(self, table: str, rows: list[tuple], wave: int) -> None:
+        """Driver-side append of a TINY row set (per-wave metrics: one row
+        per exchange partition).  Writes the parquet file with pyarrow
+        directly — byte-compatible with the Spark reader's explicit schema —
+        instead of launching a Spark write job whose scheduling floor
+        dwarfed the data (~0.3 s/wave for ≤32 rows).  Same manifest
+        bookkeeping as ``append``; only valid for non-bucketed tables."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        assert table not in BUCKETED_APPEND
+        schema = APPEND_TABLES[table]
+        _PA = {
+            T.LongType(): pa.int64(),
+            T.IntegerType(): pa.int32(),
+            T.ShortType(): pa.int16(),
+            T.StringType(): pa.string(),
+            T.BinaryType(): pa.binary(),
+        }
+        pa_schema = pa.schema(
+            [(f.name, _PA[f.dataType]) for f in schema.fields]
+        )
+        cols = list(zip(*rows)) if rows else [[] for _ in schema.fields]
+        tbl = pa.Table.from_arrays(
+            [pa.array(list(c), type=pa_schema.field(i).type) for i, c in enumerate(cols)],
+            schema=pa_schema,
+        )
+        path = os.path.join(self.root, table, f"wave={wave}")
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(tbl, os.path.join(path, "part-00000.parquet"))
         with self._mlock:
             staged = self._staged["append"].setdefault(table, [])
             if wave not in staged:

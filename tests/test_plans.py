@@ -68,7 +68,10 @@ def test_mor_read_plan_broadcast_path(spark, tmp_path):
     from chronicrawl_spark.tables import StateStore
     from pyspark.sql import functions as F
 
-    store = StateStore(spark, str(tmp_path / "s"), buckets=8)
+    # mor_window_base_bytes=0: pin the BIG-base regime's broadcast split on
+    # this small fixture (the size-adaptive default takes the window path
+    # for bases under 64 MB — see test_mor_read_plan_small_base_window)
+    store = StateStore(spark, str(tmp_path / "s"), buckets=8, mor_window_base_bytes=0)
     origins, frontier = synthetic_frontier(spark, 50, 40, 1_600_000_000_000)
     store.merge("frontier", frontier, "upsert")  # fresh → clean base
     delta = frontier.limit(5).withColumn("next_visit", F.lit(9_999_999_999_999))
@@ -81,6 +84,27 @@ def test_mor_read_plan_broadcast_path(spark, tmp_path):
     pf = " ".join(pushed_filters(plan))
     assert "LessThanOrEqual(next_visit" in pf  # pushdown survives the anti branch
     # rows: updated keys must reflect the delta (not due anymore)
+    assert df.count() == frontier.count() - 5
+
+
+def test_mor_read_plan_small_base_window(spark, tmp_path):
+    """Size-adaptive resolve: a base under ``mor_window_base_bytes`` takes
+    the single newest-wins window (fewer sequential stages) even in the
+    small-delta regime — and resolves identically to the broadcast split."""
+    from chronicrawl_spark.fixtures import synthetic_frontier
+    from chronicrawl_spark.tables import StateStore
+    from pyspark.sql import functions as F
+
+    store = StateStore(spark, str(tmp_path / "s"), buckets=8)  # default gate
+    origins, frontier = synthetic_frontier(spark, 50, 40, 1_600_000_000_000)
+    store.merge("frontier", frontier, "upsert")
+    delta = frontier.limit(5).withColumn("next_visit", F.lit(9_999_999_999_999))
+    store.merge("frontier", delta, "upsert")
+    store.commit(0)
+    plan = formatted_plan(store.read("frontier"))
+    assert "Window" in plan
+    assert count_sortmerge_joins(plan) == 0
+    df = store.read("frontier").filter(F.col("next_visit") <= F.lit(1_600_000_000_000))
     assert df.count() == frontier.count() - 5
 
 
