@@ -43,6 +43,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Gated round-robin repartition to session parallelism (a small
+    single-row-group parquet file scans as ONE task; map-heavy queries —
+    per-row md5, tokenization — would run single-core).  Applied only where
+    the map work measurably exceeds the extra exchange; no-op at scale."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 # --------------------------------------------------------------------------
 # crawl-shaped operators over shared tables (oracle-verified)
 # --------------------------------------------------------------------------
@@ -166,7 +177,7 @@ WHERE rn = 1 ORDER BY orderkey
 def q_j7_digest_dedupe(spark, sf_dir):
     """J7 (Storage.java:114-137): duplicate-payload groups by truncated digest
     with earliest-original pick."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _spread(_t(spark, sf_dir, "lineitem"))
     d = li.select(
         F.md5(F.concat_ws("|", F.col("l_partkey"), F.col("l_suppkey"))).alias("digest"),
         _ms("l_shipdate").alias("ship_ms"),
@@ -1170,7 +1181,7 @@ def q_text_tokens_fingerprint(spark, sf_dir):
     """
     from chronicrawl_spark.extras.textstats import fingerprint, token_count
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return token_count(docs).join(fingerprint(docs), "doc_id")
 
 

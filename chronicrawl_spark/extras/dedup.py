@@ -883,13 +883,16 @@ def crossmodal_dup_pairs(
     img = phash_dup_pairs(images, max_dist=max_dist).select(
         F.col("img_a"), F.col("img_b"), F.col("hamming")
     )
-    small = (
-        norm.groupBy("ckey")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") <= int(max_caption_group))
-        .select("ckey")
+    # group-size guard as ONE window on ckey instead of groupBy + join-back:
+    # the window's hash exchange on ckey is the same partitioning the caption
+    # self-join below needs, so the guard costs no extra shuffle of norm
+    # (same df-cap shape as word_jaccard_pairs' guarded variant)
+    wc = Window.partitionBy("ckey")
+    nc = (
+        norm.withColumn("__n", F.count("*").over(wc))
+        .filter(F.col("__n") <= int(max_caption_group))
+        .drop("__n")
     )
-    nc = norm.join(small, "ckey")
     cx, cy = nc.alias("cx"), nc.alias("cy")
     cap = cx.join(
         cy,
