@@ -1,10 +1,14 @@
 """Training-data deduplication operators over the ``documents`` table.
 
-Each operator is a pure DataFrame transform (JVM-side expressions only — no
-Python UDFs in any hot path) designed so a byte-identical DuckDB oracle SQL
-exists (``__spark_entry__.oracle_sql``).  Hash functions are md5 (identical
-output in Spark and DuckDB); scores are scaled to BIGINT to avoid
-float-representation drift in the value-hash comparison.
+Each operator is designed so a byte-identical DuckDB oracle SQL exists
+(``__spark_entry__.oracle_sql``).  Hash functions are md5 (identical output
+in Spark and DuckDB); scores are scaled to BIGINT to avoid
+float-representation drift in the value-hash comparison.  Signature stages
+run as Arrow-batched ``mapInPandas`` maps (exact hashlib md5 — a JVM
+``min(md5-string)`` aggregate cannot use HashAggregate and planned
+SortAggregate over the exploded corpus); everything downstream of the
+signatures is JVM-side expressions — no per-row Python in any join or
+verify path.
 
 Scale notes (100 TB):
 - exact dedup: single shuffle on the digest — the canonical map-side-combine
