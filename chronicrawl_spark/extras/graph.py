@@ -87,12 +87,18 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _local_components(edges: DataFrame) -> DataFrame:
+def _local_components_from_pdf(spark, pdf, node_t) -> DataFrame:
     """Driver-side union-find for small edge sets — the size-gated fast
     path (same cost class as the store's ≤100k bloom-delta collect): a
     post-LSH candidate graph is typically a sliver of the corpus, and the
     distributed loop would pay ~5 rounds × 2 shuffles of pure stage floor
-    on it.  Semantics identical to the distributed path (tested equal)."""
+    on it.  Semantics identical to the distributed path (tested equal).
+
+    Arrow both ways: the caller hands the edges over as a pandas frame
+    (``limit(k+1).toPandas()`` — no per-row py4j pickling; at the 200k-edge
+    threshold the row-path transfer alone cost ~1-2 s per call) and the
+    assignment returns via a pandas ``createDataFrame``.
+    """
     parent: dict = {}
 
     def find(x):
@@ -104,16 +110,10 @@ def _local_components(edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    # Arrow both ways: toPandas() instead of collect() (no per-row py4j
-    # pickling) and createDataFrame(pandas) instead of a row list — at the
-    # 200k-edge threshold the row-path transfer alone cost ~1-2 s per call
-    # (it dominated phash_clusters), the Arrow path is milliseconds.
-    pdf = edges.toPandas()
     for ra, rb in zip(pdf["u"].values, pdf["v"].values):
         ra, rb = find(ra), find(rb)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    node_t = edges.schema["u"].dataType
     from pyspark.sql import types as T
 
     import pandas as pd
@@ -123,7 +123,7 @@ def _local_components(edges: DataFrame) -> DataFrame:
     )
     nodes = list(parent)
     out = pd.DataFrame({"node": nodes, "component": [find(n) for n in nodes]})
-    return edges.sparkSession.createDataFrame(out, schema)
+    return spark.createDataFrame(out, schema)
 
 
 def connected_components(
@@ -150,11 +150,19 @@ def connected_components(
     covers any graph that fits on disk; a warning in practice means the
     budget was lowered deliberately.
     """
-    edges = _canon(pairs, src, dst).localCheckpoint(eager=True)
-    if local_threshold and edges.count() <= local_threshold:
-        out = _local_components(edges)
-        edges.unpersist()
-        return out
+    edges = _canon(pairs, src, dst)
+    if local_threshold:
+        # ONE early-stop job replaces the r5 checkpoint + count + collect
+        # triple: pull at most threshold+1 edges; getting fewer means we
+        # already hold the whole graph (the driver transfer is bounded at
+        # ~16 B x threshold either way), one more means take the
+        # distributed loop.
+        pdf = edges.limit(local_threshold + 1).toPandas()
+        if len(pdf) <= local_threshold:
+            return _local_components_from_pdf(
+                edges.sparkSession, pdf, edges.schema["u"].dataType
+            )
+    edges = edges.localCheckpoint(eager=True)
 
     def _probe(e: DataFrame):
         # bit_xor: commutative and overflow-free under ANSI mode (edges
