@@ -338,11 +338,17 @@ class CrawlEngine:
                 # Transferred to the driver only below the cap — a mega-wave
                 # falls back to semi-join-only pruning
                 F.collect_set("origin_id").alias("oids_all"),
+                # any stored robots.txt in this wave?  Rides the same agg;
+                # lets the robots gate skip its two-branch union + Arrow
+                # stage entirely on robots-free waves (identical semantics:
+                # a null robots_txt row is allowed by definition)
+                F.max(F.col("robots_txt").isNotNull()).alias("any_robots"),
             )
             .select(
                 "n",
                 "hosts",
                 "bks",
+                "any_robots",
                 F.when(
                     F.size("oids_all") <= F.lit(WAVE_HOST_IDS_CAP), F.col("oids_all")
                 ).alias("oids"),
@@ -352,6 +358,7 @@ class CrawlEngine:
         n_wave, n_hosts = stats["n"], stats["hosts"]
         wave_buckets = stats["bks"]
         wave_origin_ids = stats["oids"]
+        wave_any_robots = bool(stats["any_robots"])
         _mark("wave_stats")
 
         # park eligible origins with no due locations (Crawl.java:123-126) —
@@ -374,7 +381,10 @@ class CrawlEngine:
                 origins.unpersist()
             return {"wave": w, "ts": T, "fetched": 0, "parked": n_parked}
 
-        exch = self._exchange(wave, T, wave_buckets, wave_origin_ids, n_wave=n_wave)
+        exch = self._exchange(
+            wave, T, wave_buckets, wave_origin_ids, n_wave=n_wave,
+            any_robots=wave_any_robots,
+        )
         # AQE coalesces shuffle output by COMPRESSED byte size, so a wave
         # whose payloads compress well can materialize in 1-3 partitions —
         # starving every downstream per-wave job of parallelism (worst case
@@ -431,15 +441,27 @@ class CrawlEngine:
                     1,
                 ).otherwise(0)
             ).alias("__succ"),
+            F.sum(
+                F.when(
+                    (F.col("location_type") == "ROBOTS")
+                    & (F.col("status") >= 200)
+                    & (F.col("status") <= 299)
+                    & F.col("revisit_of_date").isNull(),
+                    1,
+                ).otherwise(0)
+            ).alias("__succ_robots"),
         ).collect()
         n_succ = sum(r["__succ"] for r in metric_rows)
+        n_succ_robots = sum(r["__succ_robots"] for r in metric_rows)
         _mark("metrics_agg")
 
         # build all mutable-table deltas lazily, then ONE merge per table.
         # Every delta's plan freezes its staged-snapshot file list at
         # construction time, so the sinks below are independent.
         frontier_updates = self._frontier_visit_updates(exch, T)
-        origin_updates = self._origin_updates(exch, wave, T)
+        origin_updates = self._origin_updates(
+            exch, wave, T, any_robots_fetched=n_succ_robots > 0
+        )
         sm_rows, frontier_new, new_origins = self._discover(exch, T, n_succ=n_succ)
 
         o_delta = origin_updates.withColumn("__tag", F.lit("visited"))
@@ -523,9 +545,12 @@ class CrawlEngine:
         return out
 
     # ------------------------------------------------------ exchange stage
-    def _robots_gate(self, wave: DataFrame) -> DataFrame:
+    def _robots_gate(self, wave: DataFrame, any_robots: bool = True) -> DataFrame:
         cfg = self.config
-        if cfg.robots_policy == "IGNORE":
+        if cfg.robots_policy == "IGNORE" or not any_robots:
+            # no stored robots.txt anywhere in the wave (known from the
+            # wave-stats agg): every row takes the null-robots allow-all
+            # branch, so skip the two-branch union + Arrow parse stage
             return wave.withColumn("allowed", F.lit(True))
         ua = cfg.user_agent
 
@@ -564,6 +589,7 @@ class CrawlEngine:
         wave_buckets: list | None = None,
         wave_origin_ids: list | None = None,
         n_wave: int | None = None,
+        any_robots: bool = True,
     ) -> DataFrame:
         """Robots gate → fetch → digest → dedupe; one row per exchange.
 
@@ -608,7 +634,7 @@ class CrawlEngine:
             semi = wk.hint("shuffle_hash")
         visits_hist = visits_hist.join(semi, ["origin_id", "path_id"], "left_semi")
         warc_hist = warc_hist.join(semi, ["origin_id", "path_id"], "left_semi")
-        gated = self._robots_gate(wave)
+        gated = self._robots_gate(wave, any_robots=any_robots)
         allowed = gated.filter(F.col("allowed"))
         denied = (
             gated.filter(~F.col("allowed"))
@@ -852,9 +878,16 @@ class CrawlEngine:
             "via_origin_id", "via_path_id", "discovered", "last_visit", "next_visit",
         )
 
-    def _origin_updates(self, exch: DataFrame, wave: DataFrame, T: int) -> DataFrame:
+    def _origin_updates(
+        self, exch: DataFrame, wave: DataFrame, T: int, any_robots_fetched: bool = True
+    ) -> DataFrame:
         """C12 politeness + robots-field updates (updateVisit/updateRobots)
-        → origins delta (merged by the caller in one fused origins MERGE)."""
+        → origins delta (merged by the caller in one fused origins MERGE).
+
+        ``any_robots_fetched=False`` (known from the wave's metrics agg: no
+        successful non-revisit ROBOTS fetch this wave) skips the
+        robots-fields Arrow stage + join — with zero rb rows the left join
+        kept every original value anyway, so the output is identical."""
         cfg = self.config
         delay = F.when(F.col("status") == C.ROBOTS_DISALLOWED, F.lit(0)).otherwise(
             F.least(
@@ -878,6 +911,8 @@ class CrawlEngine:
             .withColumn("next_visit", F.lit(T) + F.coalesce(F.col("__total_delay"), F.lit(0)))
             .drop("__total_delay")
         )
+        if not any_robots_fetched:
+            return base
         # processRobots updates (Exchange.java:204-216) — from this wave's
         # successful ROBOTS fetches
         succ_robots = exch.filter(
