@@ -29,7 +29,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -172,10 +172,10 @@ class CrawlEngine:
             return {"kind": "cuckoo", "n_buckets": cfg.cuckoo_buckets, "shards": cfg.bloom_shards}
         return {"kind": "bloom", "n_bits": cfg.bloom_bits, "k": cfg.bloom_k, "shards": cfg.bloom_shards}
 
-    def _merge(self, table: str, delta, mode: str) -> dict:
+    def _merge(self, table: str, delta, mode: str, tags: list | None = None) -> dict:
         """StateStore.merge + lineage accounting; returns the merge stats
         dict (no shared-attribute read — safe if sinks ever parallelize)."""
-        st = self.store.merge(table, delta, mode)
+        st = self.store.merge(table, delta, mode, tags=tags)
         self._lineage.append((table, mode, st["buckets"]))
         return st
 
@@ -325,36 +325,33 @@ class CrawlEngine:
         # localCheckpoint (not persist): truncates the logical plan so the
         # dozen downstream actions this wave plan against a tiny LogicalRDD
         # instead of re-optimizing the full read→join→window tree each time
-        # (driver planning was the dominant serial cost per wave)
-        wave = wave.localCheckpoint(eager=True)
+        # (driver planning was the dominant serial cost per wave).
+        # The wave stats agg RIDES the checkpoint job as observed metrics
+        # (one job instead of checkpoint + a separate agg collect):
+        # countDistinct is disallowed in observe, but size(collect_set) is
+        # the same number and the full set was built by the old agg anyway;
+        # the WAVE_HOST_IDS_CAP driver-transfer cap is applied post-agg
+        # inside the metric expression, exactly like the old post-agg select.
+        wobs = Observation()
+        oids_set = F.collect_set("origin_id")
+        wave = wave.observe(
+            wobs,
+            F.count(F.lit(1)).alias("n"),
+            F.size(oids_set).alias("hosts"),
+            F.collect_set(F.pmod(F.col("origin_id"), F.lit(store.buckets)).cast("int")).alias("bks"),
+            # wave host ids, for pushing isin(origin_id) into the J6/J7
+            # history scans (row-group skipping on key-sorted buckets).
+            # Transferred to the driver only below the cap — a mega-wave
+            # falls back to semi-join-only pruning
+            F.when(F.size(oids_set) <= F.lit(WAVE_HOST_IDS_CAP), oids_set).alias("oids"),
+            # any stored robots.txt in this wave?  Rides the same agg;
+            # lets the robots gate skip its two-branch union + Arrow
+            # stage entirely on robots-free waves (identical semantics:
+            # a null robots_txt row is allowed by definition)
+            F.max(F.col("robots_txt").isNotNull()).alias("any_robots"),
+        ).localCheckpoint(eager=True)
         _mark("wave_select")
-        stats = (
-            wave.agg(
-                F.count("*").alias("n"),
-                F.countDistinct("origin_id").alias("hosts"),
-                F.collect_set(F.pmod(F.col("origin_id"), F.lit(store.buckets)).cast("int")).alias("bks"),
-                # wave host ids, for pushing isin(origin_id) into the J6/J7
-                # history scans (row-group skipping on key-sorted buckets).
-                # Transferred to the driver only below the cap — a mega-wave
-                # falls back to semi-join-only pruning
-                F.collect_set("origin_id").alias("oids_all"),
-                # any stored robots.txt in this wave?  Rides the same agg;
-                # lets the robots gate skip its two-branch union + Arrow
-                # stage entirely on robots-free waves (identical semantics:
-                # a null robots_txt row is allowed by definition)
-                F.max(F.col("robots_txt").isNotNull()).alias("any_robots"),
-            )
-            .select(
-                "n",
-                "hosts",
-                "bks",
-                "any_robots",
-                F.when(
-                    F.size("oids_all") <= F.lit(WAVE_HOST_IDS_CAP), F.col("oids_all")
-                ).alias("oids"),
-            )
-            .collect()[0]
-        )
+        stats = wobs.get
         n_wave, n_hosts = stats["n"], stats["hosts"]
         wave_buckets = stats["bks"]
         wave_origin_ids = stats["oids"]
@@ -372,7 +369,7 @@ class CrawlEngine:
         )
 
         if n_wave == 0:
-            pst = self._merge("origins", parked_rows, "upsert")
+            pst = self._merge("origins", parked_rows, "upsert", tags=["parked"])
             n_parked = pst["rows_by_tag"].get("parked", 0)
             w = store.committed_wave + 1
             store.commit(w)
@@ -479,7 +476,9 @@ class CrawlEngine:
         # one-line change.
         self._append_visits_and_warc(exch, T, bucket_aligned=exch_aligned)
         _mark("visits_warc_append")
-        ost = store.merge_mixed("origins", o_delta, None)
+        ost = store.merge_mixed(
+            "origins", o_delta, None, tags=["visited", "new_origin", "parked"]
+        )
         _mark("origins_merge")
         if sm_rows is not None:
             self._merge("sitemap_entries", sm_rows, "upsert")

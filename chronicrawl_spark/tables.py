@@ -60,7 +60,7 @@ import re
 import shutil
 import threading
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
@@ -833,6 +833,7 @@ class StateStore:
         table: str,
         delta: DataFrame,
         mode: str = "upsert",
+        tags: list | None = None,
     ) -> dict:
         """Bucket-level merge-on-read MERGE (Iceberg ``MERGE INTO`` analog).
 
@@ -846,20 +847,28 @@ class StateStore:
         ``upsert_rows``, ``insert_rows``, ``rows_by_tag``).
         """
         if mode == "upsert":
-            return self._merge_mor(table, upsert=delta, insert=None)
+            return self._merge_mor(table, upsert=delta, insert=None, tags=tags)
         if mode == "insert_if_absent":
-            return self._merge_mor(table, upsert=None, insert=delta)
+            return self._merge_mor(table, upsert=None, insert=delta, tags=tags)
         raise ValueError(mode)
 
-    def merge_mixed(self, table: str, upsert: DataFrame, insert: DataFrame) -> dict:
+    def merge_mixed(
+        self, table: str, upsert: DataFrame, insert: DataFrame, tags: list | None = None
+    ) -> dict:
         """One merge combining an UPDATE delta and an INSERT-IF-ABSENT delta
         (one bucket-discovery job + one delta write instead of two of each).
         An insert key colliding with an existing row OR an upsert key loses
         (existing/updated row wins — tryInsert semantics).  Returns
         the merge stats dict."""
-        return self._merge_mor(table, upsert=upsert, insert=insert)
+        return self._merge_mor(table, upsert=upsert, insert=insert, tags=tags)
 
-    def _merge_mor(self, table: str, upsert: DataFrame | None, insert: DataFrame | None) -> dict:
+    def _merge_mor(
+        self,
+        table: str,
+        upsert: DataFrame | None,
+        insert: DataFrame | None,
+        tags: list | None = None,
+    ) -> dict:
         """Shared merge core: stats job + delta write (+ fresh-base fast
         path + auto-compaction).
 
@@ -885,6 +894,26 @@ class StateStore:
             parts.append(_prep(insert, True))
         delta = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
         delta = delta.withColumn("__bucket", self._bucket_col(delta, table))
+        # write-first single-job path: when every bucket already has state
+        # the fresh-base layout is impossible, so the stats the two-job
+        # shape collects up front (touched buckets, per-(mode,tag) counts)
+        # can ride the delta write itself as observed metrics — one job and
+        # one pass over the delta instead of a count().collect() pass plus
+        # a cached write pass.  Needs the tag vocabulary declared up front
+        # (observed aggregates are fixed expressions, not a groupBy); an
+        # untagged delta declares the empty vocabulary implicitly.
+        tags_known = tags is not None or not any(
+            df is not None and "__tag" in df.columns for df in (upsert, insert)
+        )
+        if tags_known:
+            with self._mlock:
+                bmap_p: dict = self._staged["mutable"][table]
+                dmap_p: dict = self._staged.setdefault("mutable_deltas", {}).setdefault(table, {})
+                all_occupied = all(
+                    str(b) in bmap_p or dmap_p.get(str(b)) for b in range(self.buckets)
+                )
+            if all_occupied:
+                return self._merge_mor_writefirst(table, delta, list(tags or ()), cols)
         # evaluated twice (bucket discovery + write) — cache to avoid
         # recomputing upstream UDF stages
         delta = delta.persist()
@@ -961,6 +990,81 @@ class StateStore:
         out.repartition(n_files).write.mode("overwrite").parquet(target)
         delta.unpersist()
         with self._mlock:
+            for b in touched:
+                dmap.setdefault(str(b), []).append(version)
+            self._staged.setdefault("delta_rows", {}).setdefault(table, {})[str(version)] = (
+                up_rows + ins_rows
+            )
+            over = [b for b in touched if len(dmap[str(b)]) > self.delta_chain_k]
+        self._bump_epoch()
+        if over:
+            self.compact(table, over)
+        return stats
+
+    def _merge_mor_writefirst(
+        self, table: str, delta: DataFrame, tags: list, cols: list
+    ) -> dict:
+        """MoR delta write with the merge stats as observed metrics on the
+        write job itself (one driver action, one pass over the delta plan).
+        Only reachable when every bucket already has state — the fresh-base
+        branch of ``_merge_mor`` can never apply — and the caller's tag
+        vocabulary is known.  File layout, manifest updates and compaction
+        triggers are identical to the two-job shape; the file-count target
+        is sized from the table's recent delta history because the exact
+        row count only becomes known when the write finishes."""
+        with self._mlock:
+            version = self._staged["next_version"][table]
+            self._staged["next_version"][table] = version + 1
+            est = max(
+                (int(v) for v in self._staged.get("delta_rows", {}).get(table, {}).values()),
+                default=0,
+            )
+        n_files = max(1, min(self.buckets, est // 2_000_000 + 1))
+        obs = Observation()
+        exprs = [
+            F.sum(F.when(F.col("__iia"), 1).otherwise(0)).alias("__ins"),
+            F.sum(F.when(~F.col("__iia"), 1).otherwise(0)).alias("__ups"),
+            F.sum(
+                F.when(F.col("__tag").isNull() & F.col("__iia"), 1).otherwise(0)
+            ).alias("__null_ins"),
+            F.sum(
+                F.when(F.col("__tag").isNull() & ~F.col("__iia"), 1).otherwise(0)
+            ).alias("__null_ups"),
+            F.collect_set("__bucket").alias("__touched"),
+        ]
+        for i, t in enumerate(tags):
+            exprs.append(
+                F.sum(F.when(F.col("__tag") == F.lit(t), 1).otherwise(0)).alias(f"__t{i}")
+            )
+        out = delta.observe(obs, *exprs).select(*cols, F.col("__iia"), F.col("__bucket"))
+        target = os.path.join(self.root, table, f"d{version}")
+        out.repartition(n_files).write.mode("overwrite").parquet(target)
+        m = obs.get
+        up_rows = int(m["__ups"] or 0)
+        ins_rows = int(m["__ins"] or 0)
+        touched = sorted(int(b) for b in (m["__touched"] or []))
+        rows_by_tag: dict = {}
+        if m["__null_ins"]:
+            rows_by_tag["insert"] = int(m["__null_ins"])
+        if m["__null_ups"]:
+            rows_by_tag["upsert"] = int(m["__null_ups"])
+        for i, t in enumerate(tags):
+            c = int(m[f"__t{i}"] or 0)
+            if c:
+                rows_by_tag[t] = rows_by_tag.get(t, 0) + c
+        stats = {
+            "buckets": len(touched),
+            "upsert_rows": up_rows,
+            "insert_rows": ins_rows,
+            "rows_by_tag": rows_by_tag,
+        }
+        self.last_merge_stats = stats
+        if not touched:
+            # empty delta: drop the files, leave the version-number gap
+            shutil.rmtree(target, ignore_errors=True)
+            return stats
+        with self._mlock:
+            dmap: dict = self._staged.setdefault("mutable_deltas", {}).setdefault(table, {})
             for b in touched:
                 dmap.setdefault(str(b), []).append(version)
             self._staged.setdefault("delta_rows", {}).setdefault(table, {})[str(version)] = (

@@ -262,3 +262,60 @@ def test_table_bytes_memoized_per_version(spark, store, monkeypatch):
     assert after_first > 0
     assert store.table_bytes("origins") == n2
     assert walked["n"] == after_first
+
+
+def test_merge_writefirst_observed_stats_equivalence(spark, tmp_path):
+    """The one-job write-first merge (stats ride the delta write as observed
+    metrics; taken when every bucket has state and the tag vocabulary is
+    declared) must produce the same resolved rows, the same stats dict, and
+    the same manifest shape as the two-job counts+write path."""
+    import pyspark.sql.functions as F
+
+    def _seed(root):
+        st = StateStore(spark, str(root), buckets=8)
+        df = spark.createDataFrame(
+            [_origin_row(i, f"http://h{i}") for i in range(16)],
+            schema=st.read("origins").schema,
+        )
+        st.merge("origins", df, "upsert")  # fresh base occupying all 8 buckets
+        st.commit(0)
+        return st
+
+    a = _seed(tmp_path / "writefirst")
+    b = _seed(tmp_path / "twojob")
+    schema = a.read("origins").schema
+
+    def _delta():
+        ups = spark.createDataFrame(
+            [_origin_row(3, "http://h3", nv=5), _origin_row(11, "http://h11", nv=6)],
+            schema,
+        ).withColumn("__tag", F.lit("visited"))
+        # insert colliding with an upsert key loses; a brand-new key lands
+        ins = spark.createDataFrame(
+            [_origin_row(3, "http://h3", nv=777), _origin_row(40, "http://h40", nv=7)],
+            schema,
+        )
+        return ups, ins
+
+    ups, ins = _delta()
+    sa = a.merge_mixed("origins", ups, ins, tags=["visited"])  # write-first
+    ups, ins = _delta()
+    sb = b.merge_mixed("origins", ups, ins)  # __tag undeclared → two-job
+    a.commit(1)
+    b.commit(1)
+    assert sa == sb
+    assert sa["rows_by_tag"] == {"visited": 2, "insert": 2}
+    assert {r["origin_id"]: r["next_visit"] for r in a.read("origins").collect()} == {
+        r["origin_id"]: r["next_visit"] for r in b.read("origins").collect()
+    }
+    ma = json.load(open(os.path.join(a.root, "manifest.json")))
+    mb = json.load(open(os.path.join(b.root, "manifest.json")))
+    assert ma["mutable_deltas"]["origins"] == mb["mutable_deltas"]["origins"]
+
+    # empty delta: zero stats, no new chain entries, no dangling files
+    empty = spark.createDataFrame([], schema)
+    se = a.merge("origins", empty, "upsert", tags=[])
+    assert se == {"buckets": 0, "upsert_rows": 0, "insert_rows": 0, "rows_by_tag": {}}
+    a.commit(2)
+    m2 = json.load(open(os.path.join(a.root, "manifest.json")))
+    assert m2["mutable_deltas"]["origins"] == ma["mutable_deltas"]["origins"]
