@@ -177,16 +177,22 @@ WHERE rn = 1 ORDER BY orderkey
 def q_j7_digest_dedupe(spark, sf_dir):
     """J7 (Storage.java:114-137): duplicate-payload groups by truncated digest
     with earliest-original pick."""
-    li = _spread(_t(spark, sf_dir, "lineitem"))
+    # group on the raw "partkey|suppkey" key and md5 AFTER the aggregate:
+    # md5 is a function of the group key, so hashing once per group (not per
+    # row) and shuffling the short concat key (not the 32-char hex digest)
+    # yields byte-identical groups with less CPU and narrower shuffle rows.
+    # No _spread: with the per-row md5 gone the map side is a cheap partial
+    # agg, cheaper than the extra exchange even on a single-task local scan
+    li = _t(spark, sf_dir, "lineitem")
     d = li.select(
-        F.md5(F.concat_ws("|", F.col("l_partkey"), F.col("l_suppkey"))).alias("digest"),
+        F.concat_ws("|", F.col("l_partkey"), F.col("l_suppkey")).alias("k"),
         _ms("l_shipdate").alias("ship_ms"),
     )
     return (
-        d.groupBy("digest")
+        d.groupBy("k")
         .agg(F.count("*").alias("n"), F.min("ship_ms").alias("first_ms"))
         .filter(F.col("n") >= 2)
-        
+        .select(F.md5("k").alias("digest"), "n", "first_ms")
     )
 
 

@@ -785,18 +785,24 @@ def phash_dup_pairs(
         F.col(id_col).alias("img_id"), F.col(phash_col).cast("long").alias("ph")
     )
     mask = (1 << band_bits) - 1
-    band_frames = [
-        p.select(
-            "img_id",
-            "ph",
-            F.lit(b).alias("band"),
-            F.shiftright(F.col("ph"), b * band_bits).bitwiseAND(F.lit(mask)).alias("bucket"),
-        )
-        for b in range(bands)
-    ]
-    allb = band_frames[0]
-    for bf in band_frames[1:]:
-        allb = allb.unionByName(bf)
+    # ONE pass + Generate instead of a `bands`-way union of selects over the
+    # same source: the union shape re-ran the upstream phash derivation once
+    # per band per join side (2×bands scans); the explode computes it once
+    # per side and emits the same (band, bucket) rows
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("ph"), b * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    allb = p.select("img_id", "ph", F.explode(bands_arr).alias("bb")).select(
+        "img_id", "ph", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
     x, y = allb.alias("x"), allb.alias("y")
     return (
         x.join(

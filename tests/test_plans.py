@@ -322,3 +322,20 @@ def test_training_export_single_payload_shuffle(spark):
         for m in re.finditer(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan)
     ]
     assert sum("bytes" in cols for cols in exch_inputs) == 1
+
+
+def test_phash_band_rows_single_generate_no_union(spark):
+    """Multi-index Hamming banding must derive band rows in ONE pass per
+    join side (explode over the band array), not a bands-way union of
+    selects that re-runs the upstream phash derivation once per band: pin
+    Generate present and Union absent in the pairs plan."""
+    import pyspark.sql.functions as F
+
+    from chronicrawl_spark.extras.dedup import phash_dup_pairs
+
+    images = spark.range(64).select(
+        F.col("id").alias("image_id"), (F.col("id") * 2654435761).alias("phash")
+    )
+    plan = formatted_plan(phash_dup_pairs(images, max_dist=3))
+    assert "Generate" in plan
+    assert "Union" not in plan
