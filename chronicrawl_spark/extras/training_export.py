@@ -155,11 +155,14 @@ def _shard_col(n_shards: int):
     return F.pmod(F.xxhash64("image_id"), F.lit(n_shards)).cast("int")
 
 
-def _pack_tar(rows) -> bytes:
-    """One WebDataset-style tar: per sample ``<image_id>.<ext>`` then
-    ``<image_id>.txt``, image_id order, mtime=0 — byte-deterministic."""
-    buf = io.BytesIO()
-    with tarfile.open(fileobj=buf, mode="w") as tf:
+def _write_tar(fileobj, rows) -> int:
+    """Stream one WebDataset-style tar to an open file object: per sample
+    ``<image_id>.<ext>`` then ``<image_id>.txt``, image_id order, mtime=0 —
+    byte-deterministic.  Members are added incrementally, so only one
+    sample's payload is in memory at a time (never the whole shard).
+    Returns the summed image-payload byte count (the manifest's ``bytes``)."""
+    n_bytes = 0
+    with tarfile.open(fileobj=fileobj, mode="w") as tf:
         for image_id, data, fmt, caption in rows:
             ext = _EXT.get(fmt, fmt)
             for name, payload in (
@@ -170,7 +173,8 @@ def _pack_tar(rows) -> bytes:
                 info.size = len(payload)
                 info.mtime = 0
                 tf.addfile(info, io.BytesIO(payload))
-    return buf.getvalue()
+            n_bytes += len(bytes(data))
+    return n_bytes
 
 
 def export_training_shards(
@@ -265,7 +269,17 @@ def export_training_shards(
             for r in per_shard
         }
     else:
-        tar_schema = "shard int, name string, data binary, samples long, bytes long"
+        # tar shards are written FROM THE EXECUTORS (the save_warc_files
+        # shape): each task streams its shards' members straight to
+        # ``out_dir`` (a shared filesystem on a cluster) and only
+        # (shard, name, samples, bytes) rows reach the driver — no shard
+        # payload bytes in any driver collect, no whole-shard blob in
+        # executor memory (``_write_tar`` adds members incrementally).
+        # Shard files are disjoint per task (the cogroup puts one shard in
+        # exactly one task) and byte-deterministic, so a task retry
+        # rewrites the identical file.
+        tar_schema = "shard int, name string, samples long, bytes long"
+        os.makedirs(out_dir, exist_ok=True)
 
         def pack(pdfs):
             import pandas as pd
@@ -277,26 +291,18 @@ def export_training_shards(
             out = []
             for shard, g in pdf.groupby("shard"):
                 g = g.sort_values("image_id")
-                blob = _pack_tar(
-                    zip(g["image_id"], g["bytes"], g["fmt"], g["caption"])
-                )
-                out.append(
-                    (int(shard), f"shard-{int(shard):05d}.tar", blob, len(g),
-                     int(g["bytes"].map(len).sum()))
-                )
-            yield pd.DataFrame(
-                out, columns=["shard", "name", "data", "samples", "bytes"]
-            )
+                name = f"shard-{int(shard):05d}.tar"
+                with open(os.path.join(out_dir, name), "wb") as f:
+                    n_bytes = _write_tar(
+                        f, zip(g["image_id"], g["bytes"], g["fmt"], g["caption"])
+                    )
+                out.append((int(shard), name, len(g), n_bytes))
+            yield pd.DataFrame(out, columns=["shard", "name", "samples", "bytes"])
 
-        blobs = sharded.mapInPandas(pack, schema=tar_schema).collect()
-        os.makedirs(out_dir, exist_ok=True)
-        shard_rows = {}
-        for r in blobs:
-            with open(os.path.join(out_dir, r["name"]), "wb") as f:
-                f.write(bytes(r["data"]))
-            shard_rows[int(r["shard"])] = {
-                "samples": r["samples"], "bytes": int(r["bytes"])
-            }
+        shard_rows = {
+            int(r["shard"]): {"samples": r["samples"], "bytes": int(r["bytes"])}
+            for r in sharded.mapInPandas(pack, schema=tar_schema).collect()
+        }
 
     if write_rejects:
         rejects.write.mode("overwrite").parquet(os.path.join(out_dir, "_rejects"))

@@ -167,3 +167,21 @@ def test_tar_shards_webdataset(spark, table, tmp_path):
         a = open(os.path.join(out, name), "rb").read()
         b = open(os.path.join(out2, name), "rb").read()
         assert a == b
+
+
+def test_tar_shards_byte_deterministic_executor_write(spark, table, tmp_path):
+    """The executor-side tar writer must be byte-deterministic: two exports
+    of the same table produce identical shard files (this is also the task
+    retry-safety argument — a re-run task rewrites the identical file), and
+    only narrow stat rows reach the driver (no binary column in the pack
+    schema; the files appear on disk without any driver-side write loop)."""
+    out1 = str(tmp_path / "t1")
+    out2 = str(tmp_path / "t2")
+    m1 = export_training_shards(table, out1, n_shards=2, fmt="tar")
+    m2 = export_training_shards(table, out2, n_shards=2, fmt="tar")
+    assert m1["shards"] == m2["shards"]
+    names = sorted(n for n in os.listdir(out1) if n.endswith(".tar"))
+    assert names == sorted(n for n in os.listdir(out2) if n.endswith(".tar"))
+    for n in names:
+        with open(os.path.join(out1, n), "rb") as a, open(os.path.join(out2, n), "rb") as b:
+            assert a.read() == b.read()
