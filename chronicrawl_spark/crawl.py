@@ -1142,8 +1142,10 @@ class CrawlEngine:
                 # bounds the delta: small → one driver-side collect; big →
                 # distributed treeAggregate.
                 if kinds.get("loc", 0) <= 100_000:
+                    # toPandas, not collect: Arrow transfer of the keyed
+                    # delta instead of per-row py4j deserialization
                     self._bloom_bits = or_in_collected(
-                        self._bloom_bits, _keyed(all_new).collect(), cfg.bloom_bits, cfg.bloom_k
+                        self._bloom_bits, _keyed(all_new).toPandas(), cfg.bloom_bits, cfg.bloom_k
                     )
                 else:
                     delta_bits = build_bloom_sharded(
@@ -1207,8 +1209,9 @@ class CrawlEngine:
                 all_new = all_new.persist()
                 self._disc_caches.append(all_new)
                 if kinds.get("loc", 0) <= 100_000:
+                    # toPandas, not collect: Arrow transfer (see bloom path)
                     self._bloom_bits = insert_collected(
-                        self._bloom_bits, _keyed(all_new).collect(), cfg.cuckoo_buckets
+                        self._bloom_bits, _keyed(all_new).toPandas(), cfg.cuckoo_buckets
                     )
                 else:
                     self._bloom_bits = insert_sharded(

@@ -197,7 +197,17 @@ def delete_collected(planes: np.ndarray, rows, n_buckets: int) -> int:
 
 def insert_collected(planes: np.ndarray, rows, n_buckets: int) -> np.ndarray:
     """Driver-side insert of collected (shard, key) rows — the small-delta
-    fast path (one collect job), mirror of ``seen.or_in_collected``."""
+    fast path (one collect job), mirror of ``seen.or_in_collected``.
+    ``rows`` is a sequence of (shard, key) tuples or a pandas frame with
+    ``shard``/``key`` columns (Arrow transfer)."""
+    if hasattr(rows, "columns"):
+        if not len(rows):
+            return planes
+        sh = rows["shard"].to_numpy(dtype=np.int64)
+        keys = rows["key"].to_numpy(dtype=np.int64)
+        for s in np.unique(sh):
+            insert_keys(planes[s], keys[sh == s], n_buckets)
+        return planes
     if not rows:
         return planes
     sh = np.fromiter((r[0] for r in rows), dtype=np.int64)

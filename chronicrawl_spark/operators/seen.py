@@ -119,7 +119,19 @@ def or_in_collected(
 ) -> np.ndarray:
     """Driver-side OR-in of collected (shard, key) rows — the small-delta
     fast path (one collect job, no Python-RDD stages).  The distributed
-    ``build_bloom_sharded`` path is for deltas too big to collect."""
+    ``build_bloom_sharded`` path is for deltas too big to collect.
+
+    ``rows`` is either a sequence of (shard, key) tuples or a pandas frame
+    with ``shard``/``key`` columns (the Arrow ``toPandas`` transfer — no
+    per-row py4j deserialization)."""
+    if hasattr(rows, "columns"):
+        if not len(rows):
+            return bits
+        sh = rows["shard"].to_numpy(dtype=np.int64)
+        keys = rows["key"].to_numpy(dtype=np.int64)
+        for pos in _positions(keys, n_bits, k):
+            np.bitwise_or.at(bits, (sh, pos >> 3), np.uint8(1) << (pos & 7).astype(np.uint8))
+        return bits
     if not rows:
         return bits
     sh = np.fromiter((r[0] for r in rows), dtype=np.int64)
